@@ -1,0 +1,277 @@
+"""Sampler registry and the scan-compiled sampling driver.
+
+Replaces the reference's ``Txt2VideoSampler`` / ``SamplerBase`` machinery
+(samplers_common.py:71-207) with pure functions:
+
+  * the registry keys are the public sampler names
+    ``DDIM_Gaussian | DDIM | UniPC`` (samplers_common.py:89-93);
+  * classifier-free guidance is *fused*: one model forward on the
+    ``[uncond; cond]`` doubled batch per step, instead of the reference's two
+    sequential forwards (gaussian_sampler.py:161-164, ddim sampler.py:181-185);
+  * the step loop is a single ``jax.lax.scan`` (UniPC: scan over its
+    homogeneous middle), optionally chunked to poll an interrupt callback —
+    the TPU equivalent of the reference's cooperative
+    ``state.interrupted`` checks (samplers_common.py:48-52);
+  * prompt-editing ("scheduled") conditionings are per-step tables indexed
+    inside the scan, replacing per-step ``reconstruct_cond_batch``
+    (general_utils.py:27-30).
+
+Latent layout is video-NHWC: ``(B, F, H, W, C)``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t2v.core import rng as rng_lib
+from t2v.diffusion import ddim as ddim_mod
+from t2v.diffusion import ddim_gaussian as gaussian_mod
+from t2v.diffusion import unipc as unipc_mod
+from t2v.diffusion.schedules import DiffusionSchedule
+
+
+@dataclass(frozen=True)
+class SamplerSpec:
+    name: str
+    module: Any
+    frame_inpaint_support: bool
+
+
+available_samplers: tuple[SamplerSpec, ...] = (
+    SamplerSpec("DDIM_Gaussian", gaussian_mod, True),
+    SamplerSpec("DDIM", ddim_mod, False),
+    SamplerSpec("UniPC", unipc_mod, False),
+)
+
+
+def get_sampler(name: str) -> SamplerSpec:
+    for s in available_samplers:
+        if s.name == name:
+            return s
+    raise ValueError(f"Sampler {name} does not exist.")
+
+
+def _cond_at(cond, step):
+    """Index a scheduled cond table.
+
+    cond: (B, L, D) static or (S, B, L, D) per-step table.
+    """
+    if cond.ndim == 4:
+        return jax.lax.dynamic_index_in_dim(
+            cond, jnp.minimum(step, cond.shape[0] - 1), axis=0, keepdims=False
+        )
+    return cond
+
+
+def cfg_combine(y, u, scale, mode: str):
+    """Classifier-free guidance combine over the channel (last) axis.
+
+    mode="full": u + s*(y-u) on all channels (ddim sampler.py:185, unipc).
+    mode="split_learned_range": guidance on the first C//2 channels only,
+    the rest copied from the conditional branch — the DDIM_Gaussian
+    behaviour inherited from guided-diffusion's learned-variance splitting
+    (gaussian_sampler.py:99-101,128-136).
+    """
+    if mode == "full":
+        return u + scale * (y - u)
+    if mode == "split_learned_range":
+        d = y.shape[-1] // 2
+        guided = u[..., :d] + scale * (y[..., :d] - u[..., :d])
+        return jnp.concatenate([guided, y[..., d:]], axis=-1)
+    raise ValueError(mode)
+
+
+def make_eps_fn(
+    apply_fn: Callable,
+    cond,
+    uncond,
+    guidance_scale: float,
+    combine: str,
+) -> Callable:
+    """Build eps_fn(x, t, step) with fused-CFG batching.
+
+    apply_fn(x, t, context) -> model output, x: (B, F, H, W, C), t: (B,).
+    """
+    unconditional = uncond is None or guidance_scale == 1 or guidance_scale is None
+
+    def eps_fn(x, t, step):
+        b = x.shape[0]
+        c = _cond_at(cond, step)
+        tt = jnp.full((b,), t, dtype=jnp.float32)
+        if unconditional:
+            return apply_fn(x, tt, c)
+        uc = _cond_at(uncond, step)
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([tt, tt], axis=0)
+        ctx2 = jnp.concatenate([uc, c], axis=0)
+        out = apply_fn(x2, t2, ctx2)
+        u, y = jnp.split(out, 2, axis=0)
+        return cfg_combine(y, u, guidance_scale, combine)
+
+    return eps_fn
+
+
+def _inpaint_blend(x, step, steps, mask, image_latents, schedule_tables, t_cur, key):
+    """Working progressive inpaint masking.
+
+    The reference's per-step inpaint blend is dead code (its
+    ``inpaint_masking`` rebinds a local and returns nothing,
+    samplers_common.py:17-26) — inpainting there works only through the
+    initial masked latents. This is the repaired semantics, enabled via
+    ``inpaint_mode='progressive'``: keyframe weights harden into a binary
+    mask over steps (v = (steps-step-1)/steps, keep where mask > v) and
+    masked-out regions are re-noised from the *source image* latents.
+    """
+    sqrt_a, sqrt_1ma = schedule_tables
+    v = (steps - step - 1.0) / steps
+    binary = (mask > v).astype(x.dtype)
+    noise = jax.random.normal(key, x.shape, x.dtype)
+    renoised = sqrt_a[t_cur] * image_latents + sqrt_1ma[t_cur] * noise
+    return renoised * (1.0 - binary) + x * binary
+
+
+def sample_loop(
+    apply_fn: Callable,
+    schedule: DiffusionSchedule,
+    *,
+    steps: int,
+    shape: tuple[int, ...],
+    cond,
+    uncond=None,
+    guidance_scale: float = 1.0,
+    eta: float = 0.0,
+    sampler_name: str = "DDIM_Gaussian",
+    key: jax.Array | None = None,
+    noise=None,
+    latents=None,
+    is_vid2vid: bool = False,
+    strength: float = 1.0,
+    mask=None,
+    image_latents=None,
+    inpaint_mode: str = "initial_only",  # "initial_only" (reference parity) | "progressive"
+    callback: Callable[[int], None] | None = None,
+    callback_interval: int | None = None,
+    dtype=jnp.float32,
+):
+    """Uniform sampling entry — mirrors Txt2VideoSampler.sample_loop
+    (samplers_common.py:165-207) for all three samplers.
+
+    Returns the final denoised latent x0 of shape ``shape`` (B, F, H, W, C).
+    """
+    spec = get_sampler(sampler_name)
+    mod = spec.module
+    if key is None:
+        key = rng_lib.key_for_seed(0)
+    if noise is None:
+        noise = rng_lib.latent_noise(key, shape, dtype)
+
+    # ---- choose starting point -------------------------------------------
+    if latents is not None and is_vid2vid:
+        if mod is ddim_mod:
+            p_full = ddim_mod.plan(schedule, steps, eta)
+            t_enc = int(strength * steps)
+            x = ddim_mod.stochastic_encode(p_full, latents, noise, t_enc)
+            p = ddim_mod.truncate_for_vid2vid(p_full, t_enc)
+            return _scan_simple(
+                mod, p, x, apply_fn, cond, uncond, guidance_scale, key,
+                eta, mask, image_latents, inpaint_mode, schedule, callback,
+                callback_interval,
+            )
+        x = mod.encode_vid2vid(schedule, latents, noise, strength, steps)
+    elif latents is not None:
+        x = latents  # img2vid inpainting: pre-masked latents are the start
+    else:
+        x = noise
+
+    x = x.astype(dtype)
+
+    if mod is unipc_mod:
+        t_start = strength if (is_vid2vid and strength is not None) else None
+        p = unipc_mod.plan(schedule, steps, t_start=t_start)
+        model_fn = _unipc_model_fn(apply_fn, cond, uncond, guidance_scale, p)
+        return unipc_mod.sample(x, model_fn, p)
+
+    p = mod.plan(schedule, steps, eta)
+    return _scan_simple(
+        mod, p, x, apply_fn, cond, uncond, guidance_scale, key, eta,
+        mask, image_latents, inpaint_mode, schedule, callback,
+        callback_interval,
+    )
+
+
+def _unipc_model_fn(apply_fn, cond, uncond, guidance_scale, p: unipc_mod.Plan):
+    """x0-("data")-prediction wrapper with full-channel CFG
+    (uni_pc.py:296-311, 350-364)."""
+    eps_fn = make_eps_fn(apply_fn, cond, uncond, guidance_scale, "full")
+    alpha = jnp.asarray(p.alpha, jnp.float32)
+    sigma = jnp.asarray(p.sigma, jnp.float32)
+
+    def model_fn(x, t_input, s):
+        eps = eps_fn(x, t_input, s)
+        return (x - sigma[s] * eps) / alpha[s]
+
+    return model_fn
+
+
+def _scan_simple(
+    mod, p, x, apply_fn, cond, uncond, guidance_scale, key, eta,
+    mask, image_latents, inpaint_mode, schedule, callback, callback_interval,
+):
+    """lax.scan driver for the single-state samplers (DDIM_Gaussian, DDIM)."""
+    eps_fn = make_eps_fn(apply_fn, cond, uncond, guidance_scale, mod.CFG_COMBINE)
+    steps = p.steps
+    needs_noise = eta > 0
+    progressive = (
+        inpaint_mode == "progressive"
+        and mask is not None
+        and image_latents is not None
+        and mod.FRAME_INPAINT_SUPPORT
+    )
+    t_table = jnp.asarray(np.asarray(p.timesteps), jnp.float32)
+    if progressive:
+        sched_tables = (
+            jnp.asarray(schedule.sqrt_alphas_cumprod),
+            jnp.asarray(schedule.sqrt_one_minus_alphas_cumprod),
+        )
+        t_int = jnp.asarray(np.asarray(p.timesteps), jnp.int32)
+
+    eta_key = rng_lib.stream(key, "ddim_eta")
+    inpaint_key = rng_lib.stream(key, "inpaint_noise")
+
+    def body(x, i):
+        eps = eps_fn(x, t_table[i], i)
+        step_noise = (
+            jax.random.normal(jax.random.fold_in(eta_key, i), x.shape, x.dtype)
+            if needs_noise
+            else jnp.zeros((), x.dtype)
+        )
+        x = mod.step(x, eps, p, i, step_noise)
+        if progressive:
+            x = _inpaint_blend(
+                x, i, steps, mask, image_latents, sched_tables, t_int[i],
+                jax.random.fold_in(inpaint_key, i),
+            )
+        return x, None
+
+    if callback is None or callback_interval is None:
+        x, _ = jax.lax.scan(body, x, jnp.arange(steps))
+        if callback is not None:
+            callback(steps)
+        return x
+
+    # chunked execution: return to host between chunks so a cooperative
+    # interrupt (reference state.interrupted, samplers_common.py:48-52)
+    # can stop the loop.
+    done = 0
+    while done < steps:
+        n = min(callback_interval, steps - done)
+        x, _ = jax.lax.scan(body, x, jnp.arange(done, done + n))
+        x.block_until_ready()
+        done += n
+        callback(done)  # raises to interrupt
+    return x

@@ -1,0 +1,229 @@
+"""UniPC — unified predictor-corrector sampler (order 3, variant 'bh1').
+
+Re-derivation of /root/reference/scripts/samplers/uni_pc/uni_pc.py for TPU:
+  * NoiseScheduleVP('discrete') marginals        — uni_pc.py:8-153
+  * time_uniform ladder t_T=strength → t_0=1/N   — uni_pc.py:385-396, sampler.py:80-89
+  * multistep bh1 predictor-corrector update     — uni_pc.py:551-677
+  * warmup with rising order + corrector,
+    lower_order_final, no corrector at last step — uni_pc.py:683-743
+  * unipc_encode (vid2vid)                        — uni_pc.py:366-374, sampler.py:20-29
+
+TPU-first restructuring: every scalar coefficient (λ/α/σ at the rungs, the
+3×3 R-matrix solves for ρ_p/ρ_c) is precomputed on host in float64 — the
+device graph holds only model calls and axpy-style tensor math. The
+homogeneous order-3 middle of the loop compiles to one ``lax.scan``; the
+warmup (2 steps) and the final lower-order steps are unrolled, so the UNet
+is inlined O(1) times regardless of step count.
+
+The reference's (b=1)-only einsum/rearrange hack for video tensors
+(uni_pc.py:609-611,639-649) is replaced by a rank-agnostic weighted sum —
+identical numerics for b=1, correct for b>1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t2v.diffusion.schedules import DiffusionSchedule
+
+NAME = "UniPC"
+FRAME_INPAINT_SUPPORT = False
+CFG_COMBINE = "full"
+
+ORDER = 3
+VARIANT = "bh1"
+
+
+@dataclass(frozen=True)
+class Plan:
+    """Continuous-time rungs and marginals, all length steps+1 (float64).
+
+    Rung 0 is t_T (the start); rung ``steps`` is t_0 = 1/N.
+    """
+
+    t_cont: np.ndarray
+    t_input: np.ndarray  # model input times: (t_cont - 1/N) * N  (float!)
+    lam: np.ndarray  # lambda_t = log(alpha_t) - log(sigma_t)
+    alpha: np.ndarray  # marginal alpha_t (continuous-time, = sqrt(cumprod))
+    sigma: np.ndarray  # marginal sigma_t
+    steps: int
+
+
+def _discrete_marginals(schedule: DiffusionSchedule, t: np.ndarray):
+    """log alpha_t by piecewise-linear interpolation of the discrete table
+    (NoiseScheduleVP 'discrete', uni_pc.py:80-112)."""
+    N = schedule.num_timesteps
+    t_array = np.linspace(0.0, 1.0, N + 1)[1:]
+    log_alpha_array = 0.5 * np.log(schedule.alphas_cumprod_f64)
+    log_alpha = np.interp(t, t_array, log_alpha_array)
+    alpha = np.exp(log_alpha)
+    sigma = np.sqrt(1.0 - np.exp(2.0 * log_alpha))
+    lam = log_alpha - np.log(sigma)
+    return log_alpha, alpha, sigma, lam
+
+
+def plan(schedule: DiffusionSchedule, steps: int, t_start: float | None = None) -> Plan:
+    N = schedule.num_timesteps
+    t_0 = 1.0 / N
+    t_T = 1.0 if t_start is None else float(t_start)
+    t_cont = np.linspace(t_T, t_0, steps + 1)
+    _, alpha, sigma, lam = _discrete_marginals(schedule, t_cont)
+    return Plan(
+        t_cont=t_cont,
+        t_input=(t_cont - 1.0 / N) * N,
+        lam=lam,
+        alpha=alpha,
+        sigma=sigma,
+        steps=steps,
+    )
+
+
+def encode_vid2vid(schedule: DiffusionSchedule, latent, noise, strength: float, steps: int):
+    """unipc_encode at t=strength (sampler.py:20-29, uni_pc.py:366-374)."""
+    p = plan(schedule, steps, t_start=strength)
+    a0, s0 = float(p.alpha[0]), float(p.sigma[0])
+    return a0 * latent + s0 * noise
+
+
+def _step_coeffs(p: Plan, s: int, order_s: int):
+    """Host-side float64 coefficients for the update stepping to rung s.
+
+    Returns (rks, c_x, c_m, aB, rhos_p, rhos_c) — uni_pc.py:564-605.
+    """
+    lam = p.lam
+    h = lam[s] - lam[s - 1]
+    rks = np.array(
+        [(lam[s - 1 - i] - lam[s - 1]) / h for i in range(1, order_s)] + [1.0]
+    )
+    hh = -h  # predict_x0=True
+    h_phi_1 = np.expm1(hh)
+    h_phi_k = h_phi_1 / hh - 1.0
+    B_h = hh if VARIANT == "bh1" else np.expm1(hh)
+
+    R, b = [], []
+    factorial_i = 1.0
+    for i in range(1, order_s + 1):
+        R.append(np.power(rks, i - 1))
+        b.append(h_phi_k * factorial_i / B_h)
+        factorial_i *= i + 1
+        h_phi_k = h_phi_k / hh - 1.0 / factorial_i
+    R = np.stack(R)
+    b = np.asarray(b)
+
+    if order_s == 1:
+        rhos_p = np.zeros(0)
+    elif order_s == 2:
+        rhos_p = np.array([0.5])
+    else:
+        rhos_p = np.linalg.solve(R[:-1, :-1], b[:-1])
+    rhos_c = np.array([0.5]) if order_s == 1 else np.linalg.solve(R, b)
+
+    c_x = p.sigma[s] / p.sigma[s - 1]
+    c_m = p.alpha[s] * h_phi_1
+    aB = p.alpha[s] * B_h
+    return rks, c_x, c_m, aB, rhos_p, rhos_c
+
+
+def _update(x, models, s, order_s, use_corrector, p: Plan, model_fn):
+    """One multistep bh-update to rung s (unrolled path).
+
+    models: list of x0-predictions at rungs s-order_s .. s-1 (newest last).
+    Returns (x_t, model_t or None).
+    """
+    rks, c_x, c_m, aB, rhos_p, rhos_c = _step_coeffs(p, s, order_s)
+    c_x, c_m, aB = float(c_x), float(c_m), float(aB)
+    m0 = models[-1]
+    d1s = [(models[-1 - i] - m0) / float(rks[i - 1]) for i in range(1, order_s)]
+
+    x_t_ = c_x * x - c_m * m0
+    pred = sum(float(w) * d for w, d in zip(rhos_p, d1s)) if d1s else 0.0
+    x_t = x_t_ - aB * pred
+
+    if not use_corrector:
+        return x_t, None
+    m_t = model_fn(x_t, p.t_input[s], s)
+    corr = sum(float(w) * d for w, d in zip(rhos_c[:-1], d1s)) if d1s else 0.0
+    x_t = x_t_ - aB * (corr + float(rhos_c[-1]) * (m_t - m0))
+    return x_t, m_t
+
+
+def sample(x, model_fn, p: Plan, unroll_threshold: int = 2 * ORDER):
+    """Run the full UniPC multistep loop (uni_pc.py:683-743 semantics).
+
+    model_fn(x, t_input, step_idx) -> x0-prediction (data-prediction mode,
+    CFG already applied). Rungs with homogeneous order-3 + corrector are
+    executed under ``lax.scan``; the rest are unrolled.
+    """
+    steps = p.steps
+    m_init = model_fn(x, p.t_input[0], 0)
+    models = [m_init]
+
+    # warmup: rising order with corrector (uni_pc.py:700-711)
+    for s in range(1, min(ORDER, steps + 1)):
+        x, m = _update(x, models, s, order_s=s, use_corrector=True, p=p, model_fn=model_fn)
+        if m is None:
+            m = model_fn(x, p.t_input[s], s)
+        models.append(m)
+
+    if steps < ORDER:
+        return x
+
+    # main steps s = ORDER .. steps; order_s = min(ORDER, steps+1-s)
+    # (lower_order_final), corrector off only at s == steps.
+    homo_end = steps + 1 - ORDER  # last s with order_s == ORDER and corrector
+    homo = range(ORDER, homo_end + 1)
+
+    if len(homo) >= unroll_threshold:
+        x, models = _scan_homogeneous(x, models, homo, p, model_fn)
+        rest = range(homo_end + 1, steps + 1)
+    else:
+        rest = range(ORDER, steps + 1)
+
+    for s in rest:
+        order_s = min(ORDER, steps + 1 - s)
+        use_corrector = s < steps
+        x, m = _update(
+            x, models, s, order_s=order_s, use_corrector=use_corrector, p=p, model_fn=model_fn
+        )
+        models = models[1:]
+        if s < steps:
+            if m is None:
+                m = model_fn(x, p.t_input[s], s)
+            models.append(m)
+    return x
+
+
+def _scan_homogeneous(x, models, homo: range, p: Plan, model_fn):
+    """lax.scan over the order-3 + corrector steps."""
+    coeffs = [_step_coeffs(p, s, ORDER) for s in homo]
+    tab = lambda f: jnp.asarray(np.stack([f(c) for c in coeffs]), jnp.float32)
+    rk1 = tab(lambda c: c[0][0])
+    rk2 = tab(lambda c: c[0][1])
+    c_x = tab(lambda c: c[1])
+    c_m = tab(lambda c: c[2])
+    aB = tab(lambda c: c[3])
+    rp = jnp.asarray(np.stack([c[4] for c in coeffs]), jnp.float32)  # (n, 2)
+    rc = jnp.asarray(np.stack([c[5] for c in coeffs]), jnp.float32)  # (n, 3)
+    t_in = jnp.asarray(p.t_input[list(homo)], jnp.float32)
+    s_idx = jnp.asarray(np.asarray(list(homo)), jnp.int32)
+
+    def body(carry, per_step):
+        x, m0, m1, m2 = carry  # m2 newest (rung s-1)
+        (rk1_i, rk2_i, cx_i, cm_i, aB_i, rp_i, rc_i, t_i, si) = per_step
+        d1_1 = (m1 - m2) / rk1_i
+        d1_2 = (m0 - m2) / rk2_i
+        x_t_ = cx_i * x - cm_i * m2
+        x_pred = x_t_ - aB_i * (rp_i[0] * d1_1 + rp_i[1] * d1_2)
+        m_t = model_fn(x_pred, t_i, si)
+        x_t = x_t_ - aB_i * (rc_i[0] * d1_1 + rc_i[1] * d1_2 + rc_i[2] * (m_t - m2))
+        return (x_t, m1, m2, m_t), None
+
+    carry = (x, models[0], models[1], models[2])
+    (x, m0, m1, m2), _ = jax.lax.scan(
+        body, carry, (rk1, rk2, c_x, c_m, aB, rp, rc, t_in, s_idx)
+    )
+    return x, [m0, m1, m2]

@@ -1,0 +1,226 @@
+"""Sampler step math vs independent numpy re-derivations (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from t2v.core import rng as rng_lib
+from t2v.diffusion import ddim as ddim_mod
+from t2v.diffusion import ddim_gaussian as gaussian_mod
+from t2v.diffusion import unipc as unipc_mod
+from t2v.diffusion.sampling import cfg_combine, make_eps_fn, sample_loop
+from t2v.diffusion.schedules import DiffusionSchedule
+
+SCHED = DiffusionSchedule.linear_sd(1000)
+SHAPE = (1, 2, 4, 4, 4)  # (B, F, H, W, C) latent
+
+
+def zero_model(x, t, ctx):
+    return jnp.zeros_like(x)
+
+
+def identity_eps_model(x, t, ctx):
+    return x * 0.1
+
+
+class TestGaussianStep:
+    def test_zero_eps_contracts_to_scaled_x(self):
+        p = gaussian_mod.plan(SCHED, 20)
+        x = jnp.ones(SHAPE)
+        i = 3
+        out = gaussian_mod.step(x, jnp.zeros_like(x), p, i, jnp.zeros_like(x))
+        # eps=0: x0 = sr*x, x_prev = sqrt(a_prev)*x0
+        expect = np.sqrt(p.alphas_prev[i]) * p.sqrt_recip_alphas_cumprod[i]
+        assert np.allclose(out, expect, rtol=1e-5)
+
+    def test_numpy_parity_random_eps(self, rng):
+        p = gaussian_mod.plan(SCHED, 20, eta=0.5)
+        x = rng.normal(size=SHAPE).astype(np.float32)
+        eps = rng.normal(size=SHAPE).astype(np.float32)
+        noise = rng.normal(size=SHAPE).astype(np.float32)
+        i = 5
+        out = gaussian_mod.step(jnp.asarray(x), jnp.asarray(eps), p, i, jnp.asarray(noise))
+        # independent re-derivation of gaussian_sampler.py:252-283
+        x0 = p.sqrt_recip_alphas_cumprod[i] * x - p.sqrt_recipm1_alphas_cumprod[i] * eps
+        sigma = p.sigmas[i]
+        direction = np.sqrt(1 - p.alphas_prev[i] - sigma**2) * eps
+        expect = np.sqrt(p.alphas_prev[i]) * x0 + direction + sigma * noise
+        assert np.allclose(out, expect, rtol=1e-4, atol=1e-5)
+
+    def test_final_step_no_eta_noise_when_t0(self):
+        # nonzero gate: only t==0 suppresses noise; ladder's last rung is 34
+        p = gaussian_mod.plan(SCHED, 20, eta=1.0)
+        assert p.timesteps[-1] != 0  # ladder quirk preserved
+
+
+class TestDDIMStep:
+    def test_plan_orientation(self):
+        p = ddim_mod.plan(SCHED, 20)
+        assert p.timesteps[0] == 951 and p.timesteps[-1] == 1
+        assert (np.diff(p.alphas) > 0).all()  # descending t -> ascending alpha
+
+    def test_numpy_parity(self, rng):
+        p = ddim_mod.plan(SCHED, 20, eta=0.3)
+        x = rng.normal(size=SHAPE).astype(np.float32)
+        eps = rng.normal(size=SHAPE).astype(np.float32)
+        noise = rng.normal(size=SHAPE).astype(np.float32)
+        i = 7
+        out = ddim_mod.step(jnp.asarray(x), jnp.asarray(eps), p, i, jnp.asarray(noise))
+        pred_x0 = (x - p.sqrt_one_minus_alphas[i] * eps) / np.sqrt(p.alphas[i])
+        dir_xt = np.sqrt(1 - p.alphas_prev[i] - p.sigmas[i] ** 2) * eps
+        expect = np.sqrt(p.alphas_prev[i]) * pred_x0 + dir_xt + p.sigmas[i] * noise
+        assert np.allclose(out, expect, rtol=1e-4, atol=1e-5)
+
+    def test_vid2vid_truncation(self):
+        p = ddim_mod.plan(SCHED, 20)
+        pt = ddim_mod.truncate_for_vid2vid(p, 15)
+        assert pt.steps == 15
+        # decode runs the *first* 15 ascending rungs, descending
+        assert pt.timesteps[0] == p.timesteps[5]
+        assert pt.timesteps[-1] == 1
+
+    def test_stochastic_encode(self, rng):
+        p = ddim_mod.plan(SCHED, 20)
+        x0 = rng.normal(size=SHAPE).astype(np.float32)
+        noise = rng.normal(size=SHAPE).astype(np.float32)
+        out = ddim_mod.stochastic_encode(p, x0, noise, 15)
+        a = p.ddim_alphas_asc[15]
+        expect = np.sqrt(a) * x0 + np.sqrt(1 - a) * noise
+        assert np.allclose(out, expect, rtol=1e-5)
+
+
+class TestCFG:
+    def test_full(self):
+        y, u = jnp.ones((1, 4)), jnp.zeros((1, 4))
+        assert np.allclose(cfg_combine(y, u, 7.0, "full"), 7.0)
+
+    def test_split_learned_range(self):
+        y = jnp.ones((1, 2, 4))
+        u = jnp.zeros((1, 2, 4))
+        out = np.asarray(cfg_combine(y, u, 9.0, "split_learned_range"))
+        assert np.allclose(out[..., :2], 9.0)  # guided channels
+        assert np.allclose(out[..., 2:], 1.0)  # copied from cond
+
+    def test_fused_batching_matches_two_pass(self, rng):
+        cond = jnp.asarray(rng.normal(size=(1, 7, 8)).astype(np.float32))
+        uncond = jnp.asarray(rng.normal(size=(1, 7, 8)).astype(np.float32))
+
+        def model(x, t, ctx):
+            # context-sensitive fake model, per-sample reduction
+            bias = ctx.mean(axis=(1, 2)).reshape((-1,) + (1,) * (x.ndim - 1))
+            return x + bias
+
+        eps_fn = make_eps_fn(model, cond, uncond, 5.0, "full")
+        x = jnp.asarray(rng.normal(size=SHAPE).astype(np.float32))
+        fused = eps_fn(x, 10.0, 0)
+        y = model(x, None, cond)
+        u = model(x, None, uncond)
+        # reduction order differs between fused and two-pass in the fake
+        # model's mean -> fp32 noise amplified by the guidance scale
+        assert np.allclose(fused, u + 5.0 * (y - u), atol=2e-3)
+
+
+class TestUniPCPlan:
+    def test_rungs(self):
+        p = unipc_mod.plan(SCHED, 20)
+        assert p.steps == 20
+        assert p.t_cont[0] == pytest.approx(1.0)
+        assert p.t_cont[-1] == pytest.approx(1e-3)
+        # model input times: t=1.0 -> 999.0 (get_model_input_time)
+        assert p.t_input[0] == pytest.approx(999.0)
+        assert p.t_input[-1] == pytest.approx(0.0, abs=1e-9)
+
+    def test_marginals_match_table_at_gridpoints(self):
+        # t exactly (i+1)/N must hit the discrete table entries
+        p = unipc_mod.plan(SCHED, 999)
+        ac = SCHED.alphas_cumprod_f64
+        i = 500
+        t = p.t_cont[np.argmin(np.abs(p.t_cont - (i + 1) / 1000))]
+        idx = int(round(t * 1000)) - 1
+        _, alpha, _, _ = unipc_mod._discrete_marginals(SCHED, np.array([t]))
+        assert alpha[0] == pytest.approx(np.sqrt(ac[idx]), rel=1e-6)
+
+    def test_coeff_order3_r_solve(self):
+        p = unipc_mod.plan(SCHED, 20)
+        rks, c_x, c_m, aB, rhos_p, rhos_c = unipc_mod._step_coeffs(p, 5, 3)
+        assert rks.shape == (3,) and rks[-1] == 1.0
+        assert rhos_p.shape == (2,) and rhos_c.shape == (3,)
+        # R @ rhos_c == b by construction
+        h = p.lam[5] - p.lam[4]
+        hh = -h
+        h_phi_1 = np.expm1(hh)
+        B_h = hh
+        b1 = (h_phi_1 / hh - 1.0) / B_h
+        R1 = np.stack([rks**0, rks**1, rks**2])
+        assert np.allclose(R1 @ rhos_c, [b1, *(R1 @ rhos_c)[1:]])
+
+
+class TestSampleLoopEndToEnd:
+    @pytest.mark.parametrize("name", ["DDIM_Gaussian", "DDIM", "UniPC"])
+    def test_runs_and_deterministic(self, name):
+        key = rng_lib.key_for_seed(7)
+        cond = jnp.zeros((1, 7, 8))
+        uncond = jnp.zeros((1, 7, 8))
+        kw = dict(
+            steps=6, shape=SHAPE, cond=cond, uncond=uncond,
+            guidance_scale=9.0, sampler_name=name, key=key,
+        )
+        x1 = sample_loop(identity_eps_model, SCHED, **kw)
+        x2 = sample_loop(identity_eps_model, SCHED, **kw)
+        assert x1.shape == SHAPE
+        assert np.isfinite(np.asarray(x1)).all()
+        assert np.allclose(x1, x2)
+
+    def test_eta_noise_changes_result(self):
+        key = rng_lib.key_for_seed(7)
+        cond = jnp.zeros((1, 7, 8))
+        base = sample_loop(
+            identity_eps_model, SCHED, steps=6, shape=SHAPE, cond=cond,
+            sampler_name="DDIM_Gaussian", key=key,
+        )
+        noisy = sample_loop(
+            identity_eps_model, SCHED, steps=6, shape=SHAPE, cond=cond,
+            sampler_name="DDIM_Gaussian", key=key, eta=1.0,
+        )
+        assert not np.allclose(base, noisy)
+
+    def test_unipc_scan_matches_unrolled(self):
+        # the scanned homogeneous middle must equal the fully-unrolled loop
+        key = rng_lib.key_for_seed(3)
+        cond = jnp.zeros((1, 7, 8))
+        kw = dict(steps=12, shape=SHAPE, cond=cond, sampler_name="UniPC", key=key)
+        x_scan = sample_loop(identity_eps_model, SCHED, **kw)
+
+        p = unipc_mod.plan(SCHED, 12)
+        from t2v.diffusion.sampling import _unipc_model_fn
+        model_fn = _unipc_model_fn(identity_eps_model, cond, None, 1.0, p)
+        x0 = rng_lib.latent_noise(key, SHAPE, jnp.float32)
+        x_unrolled = unipc_mod.sample(x0, model_fn, p, unroll_threshold=10**9)
+        assert np.allclose(x_scan, x_unrolled, rtol=1e-4, atol=1e-5)
+
+    def test_vid2vid_paths(self):
+        key = rng_lib.key_for_seed(5)
+        cond = jnp.zeros((1, 7, 8))
+        latents = jnp.ones(SHAPE) * 0.3
+        for name in ["DDIM_Gaussian", "DDIM", "UniPC"]:
+            out = sample_loop(
+                identity_eps_model, SCHED, steps=8, shape=SHAPE, cond=cond,
+                sampler_name=name, key=key, latents=latents,
+                is_vid2vid=True, strength=0.6,
+            )
+            assert out.shape == SHAPE
+            assert np.isfinite(np.asarray(out)).all()
+
+    def test_chunked_callback(self):
+        key = rng_lib.key_for_seed(7)
+        cond = jnp.zeros((1, 7, 8))
+        seen = []
+        kw = dict(steps=6, shape=SHAPE, cond=cond, sampler_name="DDIM_Gaussian", key=key)
+        x_full = sample_loop(identity_eps_model, SCHED, **kw)
+        x_chunk = sample_loop(
+            identity_eps_model, SCHED, **kw,
+            callback=seen.append, callback_interval=2,
+        )
+        assert seen == [2, 4, 6]
+        assert np.allclose(x_full, x_chunk, rtol=1e-5, atol=1e-6)
