@@ -114,7 +114,8 @@ class VAEConfig:
     scale_factor: float = 0.18215  # latent scaling (t2v_pipeline.py:153,185,300)
 
     def tiny(self) -> "VAEConfig":
-        return dataclasses.replace(self, ch=16, ch_mult=(1, 2), num_res_blocks=1)
+        # ch must stay a multiple of 32 (GroupNorm groups)
+        return dataclasses.replace(self, ch=32, ch_mult=(1, 2), num_res_blocks=1)
 
 
 @dataclass(frozen=True)

@@ -176,6 +176,7 @@ def sample_loop(
             p_full = ddim_mod.plan(schedule, steps, eta)
             t_enc = int(strength * steps)
             x = ddim_mod.stochastic_encode(p_full, latents, noise, t_enc)
+            x = x.astype(jnp.float32)
             p = ddim_mod.truncate_for_vid2vid(p_full, t_enc)
             return _scan_simple(
                 mod, p, x, apply_fn, cond, uncond, guidance_scale, key,
@@ -188,7 +189,8 @@ def sample_loop(
     else:
         x = noise
 
-    x = x.astype(dtype)
+    # sampler state is always fp32; the model policy casts at its boundary
+    x = x.astype(jnp.float32)
 
     if mod is unipc_mod:
         t_start = strength if (is_vid2vid and strength is not None) else None

@@ -1,0 +1,194 @@
+"""Host-side video IO: frame extraction, stitching, soundtrack, metadata.
+
+Covers the reference's video_audio_utils.py surface:
+  * ``vid2frames``          — frame extraction with range / nth-frame
+                              (video_audio_utils.py:18-79, cv2-based)
+  * ``ffmpeg_stitch_video`` — png-seq → h264 with crf/preset, soundtrack
+                              mux, MP4 comment metadata (:126-212)
+  * ``find_ffmpeg_binary``  — binary discovery (:109-123); this build also
+                              falls back to cv2.VideoWriter when no ffmpeg
+                              binary exists (no soundtrack/metadata then —
+                              reported, not silently dropped)
+  * ``get_quick_vid_info``  — fps/frame-count/resolution probe (:215-225)
+
+All of this is deliberately host-side Python — codecs and muxing are not
+accelerator work (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+from typing import Iterable, Optional
+
+import cv2
+import numpy as np
+
+
+def find_ffmpeg_binary() -> Optional[str]:
+    """Locate an ffmpeg binary (imageio-ffmpeg wheel, PATH, or None)."""
+    try:
+        import imageio_ffmpeg
+
+        return imageio_ffmpeg.get_ffmpeg_exe()
+    except ImportError:
+        pass
+    return shutil.which("ffmpeg")
+
+
+def vid2frames(
+    video_path: str,
+    out_dir: Optional[str] = None,
+    *,
+    n: int = 1,
+    start_frame: int = 0,
+    end_frame: int = -1,
+    numeric_files_output: bool = True,
+) -> list[np.ndarray]:
+    """Extract frames [start_frame, end_frame) taking every n-th frame.
+
+    Returns RGB uint8 arrays; also writes PNGs when out_dir is given.
+    """
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise ValueError(f"cannot open video {video_path}")
+    frames = []
+    idx = 0
+    written = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if idx >= start_frame and (end_frame < 0 or idx < end_frame):
+            if (idx - start_frame) % n == 0:
+                rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                frames.append(rgb)
+                if out_dir is not None:
+                    os.makedirs(out_dir, exist_ok=True)
+                    name = f"{written:09d}.png" if numeric_files_output else f"frame{written}.png"
+                    cv2.imwrite(os.path.join(out_dir, name), frame)
+                written += 1
+        idx += 1
+        if end_frame >= 0 and idx >= end_frame:
+            break
+    cap.release()
+    return frames
+
+
+def get_quick_vid_info(video_path: str) -> tuple[float, int, tuple[int, int]]:
+    """(fps, frame_count, (width, height))."""
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise ValueError(f"cannot open video {video_path}")
+    fps = cap.get(cv2.CAP_PROP_FPS)
+    count = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    size = (
+        int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+        int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+    )
+    cap.release()
+    return fps, count, size
+
+
+def _cv2_stitch(frames: Iterable[np.ndarray], out_path: str, fps: float) -> None:
+    frames = list(frames)
+    h, w = frames[0].shape[:2]
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    writer = cv2.VideoWriter(out_path, fourcc, fps, (w, h))
+    if not writer.isOpened():
+        raise RuntimeError(f"cv2.VideoWriter could not open {out_path}")
+    for f in frames:
+        writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    writer.release()
+
+
+def ffmpeg_stitch_video(
+    *,
+    frames: Optional[list[np.ndarray]] = None,
+    imgs_path: Optional[str] = None,
+    out_path: str,
+    fps: float = 15,
+    crf: int = 17,
+    preset: str = "slow",
+    metadata_comment: Optional[str] = None,
+    add_soundtrack: str = "None",
+    audio_path: Optional[str] = None,
+    ffmpeg_location: Optional[str] = None,
+) -> str:
+    """Stitch frames (RGB arrays or a %09d.png sequence dir) into an mp4.
+
+    With an ffmpeg binary: h264 with crf/preset, optional soundtrack mux and
+    an MP4 comment metadata atom carrying the infotext
+    (video_audio_utils.py:126-212). Without one: cv2 mp4v fallback (and a
+    printed notice about dropped soundtrack/metadata).
+    """
+    ffmpeg = ffmpeg_location or find_ffmpeg_binary()
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+
+    if ffmpeg is None:
+        if frames is None:
+            frames = _read_png_sequence(imgs_path)
+        _cv2_stitch(frames, out_path, fps)
+        if add_soundtrack != "None" or metadata_comment:
+            print(
+                "t2v.media: no ffmpeg binary found — wrote cv2 mp4v video "
+                "without soundtrack/metadata"
+            )
+        return out_path
+
+    if imgs_path is None:
+        assert frames is not None
+        import tempfile
+
+        imgs_path = tempfile.mkdtemp(prefix="t2v_frames_")
+        for i, f in enumerate(frames):
+            cv2.imwrite(os.path.join(imgs_path, f"{i:09d}.png"), cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+
+    cmd = [
+        ffmpeg, "-y", "-vcodec", "png",
+        "-r", str(fps),
+        "-start_number", "0",
+        "-i", os.path.join(imgs_path, "%09d.png"),
+        "-frames:v", "100000",
+        "-c:v", "libx264",
+        "-vf", f"fps={fps}",
+        "-pix_fmt", "yuv420p",
+        "-crf", str(crf),
+        "-preset", preset,
+    ]
+    if metadata_comment:
+        cmd += ["-metadata", f"comment={metadata_comment}"]
+    cmd += [out_path]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+    if add_soundtrack != "None" and audio_path:
+        tmp = out_path + ".audio.mp4"
+        mux = [
+            ffmpeg, "-y", "-i", out_path, "-i", audio_path,
+            "-c:v", "copy", "-c:a", "aac", "-shortest", tmp,
+        ]
+        subprocess.run(mux, check=True, capture_output=True)
+        os.replace(tmp, out_path)
+    return out_path
+
+
+def _read_png_sequence(imgs_path: str) -> list[np.ndarray]:
+    names = sorted(n for n in os.listdir(imgs_path) if n.endswith(".png"))
+    return [
+        cv2.cvtColor(cv2.imread(os.path.join(imgs_path, n)), cv2.COLOR_BGR2RGB)
+        for n in names
+    ]
+
+
+def frames_to_video(frames: list[np.ndarray], out_path: str, fps: float = 15, **kw) -> str:
+    return ffmpeg_stitch_video(frames=frames, out_path=out_path, fps=fps, **kw)
+
+
+def video_to_data_url(path: str) -> str:
+    """base64 data-URL packing (process_modelscope.py:257-266 role)."""
+    import base64
+
+    with open(path, "rb") as f:
+        data = base64.b64encode(f.read()).decode()
+    return f"data:video/mp4;base64,{data}"

@@ -1,0 +1,397 @@
+"""Flax building blocks for the ModelScope 3D-factorised UNet.
+
+TPU-native re-design of the reference torch modules
+(/root/reference/scripts/modelscope/t2v_model.py):
+  * layouts are channels-last — spatial tensors ``(B·F, H, W, C)``, temporal
+    tensors ``(B·H·W, F, C)`` — so convs and matmuls tile onto the MXU
+    without transposes;
+  * attention goes through ``t2v.kernels.attention`` (Pallas flash kernel /
+    XLA dispatch) instead of the reference's xformers/SDP ladder
+    (t2v_model.py:556-581);
+  * normalisation statistics are computed in float32 regardless of the
+    compute dtype (the reference relies on fp16 autocast behaviour).
+
+Parity notes (verified by tests/test_blocks.py against torch CPU):
+  * GroupNorm eps: 1e-5 in ResBlock/TemporalConv (torch default), 1e-6 in
+    the transformer norms (t2v_model.py:615-616, 692-693);
+  * GELU is the exact (erf) variant (torch F.gelu default) — not jax's
+    default tanh approximation;
+  * zero-initialised output projections mirror ``zero_module`` /
+    ``nn.init.zeros_`` placements (proj_out, ResBlock out conv,
+    TemporalConv conv4, UNet head conv).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t2v.core.dtypes import Policy
+from t2v.kernels.attention import attention as _attention
+
+
+def sinusoidal_embedding(t: jax.Array, dim: int) -> jax.Array:
+    """Timestep embedding, cos-then-sin ordering (t2v_model.py:504-515)."""
+    half = dim // 2
+    # static table in float64: fp32 pow() phase error is amplified by t~1000
+    freqs = jnp.asarray(
+        np.power(10000.0, -np.arange(half, dtype=np.float64) / half),
+        jnp.float32,
+    )
+    sinusoid = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    x = jnp.concatenate([jnp.cos(sinusoid), jnp.sin(sinusoid)], axis=1)
+    if dim % 2 != 0:
+        x = jnp.concatenate([x, jnp.zeros_like(x[:, :1])], axis=1)
+    return x
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32) with float32 statistics."""
+
+    eps: float = 1e-5
+    num_groups: int = 32
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        out = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.eps,
+            dtype=jnp.float32,
+            param_dtype=self.policy.param_dtype,
+        )(x.astype(jnp.float32))
+        return out.astype(dtype)
+
+
+class CrossAttention(nn.Module):
+    """QKV attention (t2v_model.py:518-584). Self-attention when no context."""
+
+    query_dim: int
+    context_dim: Optional[int] = None
+    heads: int = 8
+    dim_head: int = 64
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.heads * self.dim_head
+        dense = lambda feats, name, bias=True: nn.Dense(
+            feats,
+            use_bias=bias,
+            name=name,
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+        )
+        ctx = x if context is None else context
+        q = dense(inner, "to_q", bias=False)(x)
+        k = dense(inner, "to_k", bias=False)(ctx)
+        v = dense(inner, "to_v", bias=False)(ctx)
+
+        b, n, _ = q.shape
+        s = k.shape[1]
+        fold = lambda t, length: (
+            t.reshape(b, length, self.heads, self.dim_head)
+            .transpose(0, 2, 1, 3)
+            .reshape(b * self.heads, length, self.dim_head)
+        )
+        out = _attention(fold(q, n), fold(k, s), fold(v, s))
+        out = (
+            out.reshape(b, self.heads, n, self.dim_head)
+            .transpose(0, 2, 1, 3)
+            .reshape(b, n, inner)
+        )
+        return dense(self.query_dim, "to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    """GEGLU MLP (t2v_model.py:813-846), exact-erf GELU."""
+
+    dim: int
+    mult: int = 4
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, x):
+        inner = int(self.dim * self.mult)
+        proj = nn.Dense(
+            inner * 2,
+            name="geglu",
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+        )(x)
+        h, gate = jnp.split(proj, 2, axis=-1)
+        h = h * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(h.dtype)
+        return nn.Dense(
+            self.dim,
+            name="out",
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+        )(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """Pre-LN self + cross + GEGLU FF block (t2v_model.py:770-809)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    context_dim: Optional[int] = None
+    disable_self_attn: bool = False
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        ln = lambda name: nn.LayerNorm(
+            epsilon=1e-5,
+            name=name,
+            dtype=jnp.float32,
+            param_dtype=self.policy.param_dtype,
+        )
+        attn1 = CrossAttention(
+            query_dim=self.dim,
+            context_dim=self.context_dim if self.disable_self_attn else None,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            policy=self.policy,
+            name="attn1",
+        )
+        attn2 = CrossAttention(
+            query_dim=self.dim,
+            context_dim=self.context_dim,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            policy=self.policy,
+            name="attn2",
+        )
+        dt = x.dtype
+        x = attn1(
+            ln("norm1")(x).astype(dt),
+            context=context if self.disable_self_attn else None,
+        ) + x
+        x = attn2(ln("norm2")(x).astype(dt), context=context) + x
+        x = GEGLUFeedForward(dim=self.dim, policy=self.policy, name="ff")(
+            ln("norm3")(x).astype(dt)
+        ) + x
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """Attention over (H·W) tokens per frame (t2v_model.py:587-658),
+    use_linear=True projections. Input ``(B·F, H, W, C)``."""
+
+    channels: int
+    heads: int
+    dim_head: int
+    depth: int = 1
+    context_dim: Optional[int] = None
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        bf, h, w, c = x.shape
+        x_in = x
+        x = GroupNorm32(eps=1e-6, policy=self.policy, name="norm")(x)
+        x = x.reshape(bf, h * w, c)
+        inner = self.heads * self.dim_head
+        x = nn.Dense(
+            inner,
+            name="proj_in",
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+        )(x)
+        for d in range(self.depth):
+            x = BasicTransformerBlock(
+                dim=inner,
+                heads=self.heads,
+                dim_head=self.dim_head,
+                context_dim=self.context_dim,
+                policy=self.policy,
+                name=f"block_{d}",
+            )(x, context=context)
+        x = nn.Dense(
+            self.channels,
+            name="proj_out",
+            kernel_init=nn.initializers.zeros,
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+        )(x)
+        return x.reshape(bf, h, w, c) + x_in
+
+
+class TemporalTransformer(nn.Module):
+    """Attention over the frame axis (t2v_model.py:661-767),
+    use_linear=False (Conv1d k=1 ≡ per-frame Dense). Input ``(B, F, H, W, C)``."""
+
+    channels: int
+    heads: int
+    dim_head: int
+    depth: int = 1
+    multiply_zero: bool = False
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        b, f, h, w, c = x.shape
+        x_in = x
+        x = GroupNorm32(eps=1e-6, policy=self.policy, name="norm")(x)
+        # (b h w) f c token layout
+        x = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
+        inner = self.heads * self.dim_head
+        x = nn.Dense(
+            inner,
+            name="proj_in",
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+        )(x)
+        for d in range(self.depth):
+            x = BasicTransformerBlock(
+                dim=inner,
+                heads=self.heads,
+                dim_head=self.dim_head,
+                context_dim=None,  # only_self_att=True (t2v_model.py:678-681)
+                policy=self.policy,
+                name=f"block_{d}",
+            )(x)
+        x = nn.Dense(
+            self.channels,
+            name="proj_out",
+            kernel_init=nn.initializers.zeros,
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+        )(x)
+        x = x.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
+        if self.multiply_zero:
+            return x_in
+        return x + x_in
+
+
+class TemporalConvBlock(nn.Module):
+    """4× (GN+SiLU+Conv3d (3,1,1)) residual block, conv4 zero-init
+    (t2v_model.py:1186-1229, param name quirk 'temopral_conv' preserved in
+    the checkpoint mapping). Input ``(B, F, H, W, C)``."""
+
+    channels: int
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        for i in range(1, 5):
+            h = GroupNorm32(policy=self.policy, name=f"norm{i}")(x if i == 1 else h)
+            h = jax.nn.silu(h)
+            h = nn.Conv(
+                self.channels,
+                kernel_size=(3, 1, 1),
+                padding=((1, 1), (0, 0), (0, 0)),
+                name=f"conv{i}",
+                kernel_init=nn.initializers.zeros if i == 4 else nn.initializers.lecun_normal(),
+                dtype=self.policy.compute_dtype,
+                param_dtype=self.policy.param_dtype,
+            )(h)
+        return identity + h
+
+
+class ResBlock(nn.Module):
+    """GN+SiLU+Conv → +time-emb → GN+SiLU+zero-Conv, skip 1×1, followed by
+    the temporal conv block (t2v_model.py:886-1009). Input ``(B·F, H, W, C)``
+    with ``frames`` static for the temporal reshape."""
+
+    channels: int
+    emb_channels: int
+    out_channels: int
+    frames: int
+    use_temporal_conv: bool = True
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, x, emb):
+        conv = lambda feats, name, zero=False: nn.Conv(
+            feats,
+            kernel_size=(3, 3),
+            padding=((1, 1), (1, 1)),
+            name=name,
+            kernel_init=nn.initializers.zeros if zero else nn.initializers.lecun_normal(),
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+        )
+        h = GroupNorm32(policy=self.policy, name="in_norm")(x)
+        h = jax.nn.silu(h)
+        h = conv(self.out_channels, "in_conv")(h)
+
+        emb_out = nn.Dense(
+            self.out_channels,
+            name="emb",
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+        )(jax.nn.silu(emb))
+        h = h + emb_out[:, None, None, :]
+
+        h = GroupNorm32(policy=self.policy, name="out_norm")(h)
+        h = jax.nn.silu(h)
+        h = conv(self.out_channels, "out_conv", zero=True)(h)
+
+        if self.out_channels == self.channels:
+            skip = x
+        else:
+            skip = nn.Conv(
+                self.out_channels,
+                kernel_size=(1, 1),
+                name="skip",
+                dtype=self.policy.compute_dtype,
+                param_dtype=self.policy.param_dtype,
+            )(x)
+        h = skip + h
+
+        if self.use_temporal_conv:
+            bf, hh, ww, cc = h.shape
+            b = bf // self.frames
+            h5 = h.reshape(b, self.frames, hh, ww, cc)
+            h5 = TemporalConvBlock(
+                channels=self.out_channels, policy=self.policy, name="temporal_conv"
+            )(h5)
+            h = h5.reshape(bf, hh, ww, cc)
+        return h
+
+
+class Upsample(nn.Module):
+    """Nearest 2× + conv3×3 (t2v_model.py:849-883). Input ``(B·F, H, W, C)``."""
+
+    channels: int
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, x):
+        bf, h, w, c = x.shape
+        x = jax.image.resize(x, (bf, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(
+            self.channels,
+            kernel_size=(3, 3),
+            padding=((1, 1), (1, 1)),
+            name="conv",
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+        )(x)
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv3×3 (t2v_model.py:1010-1045). Input ``(B·F, H, W, C)``."""
+
+    channels: int
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.channels,
+            kernel_size=(3, 3),
+            strides=(2, 2),
+            padding=((1, 1), (1, 1)),
+            name="op",
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+        )(x)

@@ -1,0 +1,68 @@
+"""Sharding rules: param-tree paths → PartitionSpecs.
+
+Megatron-style tensor parallelism for every transformer in the framework
+(UNet spatial/temporal attention + GEGLU MLPs, CLIP text tower):
+
+  column-parallel (shard output features on "tp"):
+      to_q/to_k/to_v, geglu, in_proj, c_fc
+  row-parallel (shard input features on "tp"):
+      to_out, out_proj, c_proj, ff "out"
+
+XLA's SPMD partitioner inserts the single all-reduce per block that the
+Megatron pattern implies; no hand-written collectives. Convolutions and
+norms stay replicated (their arithmetic intensity does not justify tp at
+these sizes). Activations shard batch on "dp" and frames on "sp".
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_COLUMN_PARALLEL = ("to_q", "to_k", "to_v", "geglu", "in_proj", "c_fc")
+_ROW_PARALLEL = ("to_out", "out_proj", "c_proj")
+
+
+def _spec_for_path(path: tuple[str, ...], ndim: int) -> P:
+    names = set(path)
+    if ndim == 2:
+        parent = path[-2] if len(path) >= 2 else ""
+        if parent in _COLUMN_PARALLEL and path[-1] == "kernel":
+            return P(None, "tp")
+        if parent in _ROW_PARALLEL and path[-1] == "kernel":
+            return P("tp", None)
+        # GEGLU FF down-projection lives under ff/out
+        if len(path) >= 3 and path[-3] == "ff" and parent == "out" and path[-1] == "kernel":
+            return P("tp", None)
+    if path[-1] == "bias" and len(path) >= 2 and path[-2] in _COLUMN_PARALLEL:
+        return P("tp")
+    return P()  # replicated
+
+
+def param_sharding_rules(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding tree matching ``params``' structure."""
+
+    def rule(path, leaf):
+        keys = tuple(
+            p.key if hasattr(p, "key") else str(p) for p in path
+        )
+        return NamedSharding(mesh, _spec_for_path(keys, leaf.ndim))
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Device-put the param tree with tp sharding applied."""
+    shardings = param_sharding_rules(params, mesh)
+    return jax.device_put(params, shardings)
+
+
+def activation_spec(mesh: Mesh, *, frames_axis: int | None = 1) -> P:
+    """Video-latent activation sharding: (B, F, H, W, C) → batch on dp,
+    frames on sp."""
+    spec = ["dp", None, None, None, None]
+    if frames_axis is not None:
+        spec[frames_axis] = "sp"
+    return P(*spec)

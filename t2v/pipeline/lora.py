@@ -1,0 +1,173 @@
+"""LoRA merging as pure param-tree transforms.
+
+Covers both of the reference's LoRA systems (SURVEY.md §2.7):
+
+  * **stable-lora** (ModelScope path): ``.safetensors`` files keyed by torch
+    module path with ``.lora_A`` / ``.lora_B`` pairs; merge is
+    ``W += (B @ A) * alpha`` with a Conv3d temporal mean-collapse
+    (lora_processor.py:74-96) and optional bias deltas. Undo-merge is the
+    algebraic inverse — here simply re-merging with ``-alpha`` (the
+    reference tracks previous merges for the same purpose,
+    lora_processor.py:117-147).
+  * **cloneofsimo / LVDM format** (VideoCrafter path): torch files keyed
+    ``...lora_up.weight`` / ``...lora_down.weight``; merge is
+    ``W += up @ down * scale`` (lvdm lora.py:620-672 ``net_load_lora``).
+
+Both produce a NEW param tree (functional; jit-compatible upstream). The
+torch-name → flax-path resolution uses the converter's module index so the
+two stay mechanically in sync.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+from t2v.core.config import CLIPTextConfig, ModelScopeUNetConfig
+from t2v.io.convert import clip_module_index, torch_module_index
+
+Array = np.ndarray
+
+
+def _delta_to_flax(delta: Array, kind: str, target_shape: tuple[int, ...]) -> Array:
+    """Torch-layout LoRA delta → flax param layout."""
+    if kind == "linear":
+        return delta.T
+    if kind == "conv1d":
+        return delta.reshape(delta.shape[0], delta.shape[1]).T
+    if kind == "conv2d":
+        # delta (out, in*kh*kw) or already (out,in,kh,kw)
+        kh, kw, cin, cout = target_shape
+        return delta.reshape(cout, cin, kh, kw).transpose(2, 3, 1, 0)
+    if kind == "conv3d":
+        # temporal (kt,1,1) conv: reference views the 2D-trained delta as
+        # (out,in,k,k,1) and mean-collapses the second spatial axis
+        # (lora_processor.py:85-93)
+        kt, _, _, cin, cout = target_shape
+        d = delta.reshape(cout, cin, kt, kt, 1).mean(axis=3, keepdims=True)
+        return d.transpose(2, 3, 4, 1, 0)
+    if kind == "embedding":
+        return delta.T
+    raise ValueError(kind)
+
+
+def _iter_lora_pairs(lora_sd: Mapping[str, Array]):
+    for key in lora_sd:
+        if key.endswith(".lora_A"):
+            name = key[: -len(".lora_A")]
+            yield name, lora_sd[key], lora_sd[f"{name}.lora_B"]
+
+
+def merge_stable_lora(
+    params: dict,
+    lora_sd: Mapping[str, Array],
+    alpha: float,
+    module_index: Mapping[str, tuple[tuple[str, ...], str]],
+    *,
+    undo: bool = False,
+    merge_bias: bool = True,
+) -> tuple[dict, list[str]]:
+    """Merge a stable-lora state_dict into flax ``{'params': ...}``.
+
+    Returns (new_params, skipped_module_names). Module names absent from
+    the index (e.g. norm layers, or CLIP modules when merging the UNet)
+    are skipped and reported, matching the reference's silent tolerance.
+    """
+    import jax
+
+    sign = -1.0 if undo else 1.0
+    tree = jax.tree.map(lambda x: x, params)  # shallow-copy containers
+    skipped: list[str] = []
+
+    def leaf_ref(path: tuple[str, ...]) -> dict | None:
+        node = tree["params"]
+        for seg in path[:-1]:
+            if seg not in node:
+                return None
+            node = node[seg]
+        return node if path[-1] in node else None
+
+    for name, lora_a, lora_b in _iter_lora_pairs(lora_sd):
+        if name not in module_index:
+            skipped.append(name)
+            continue
+        fpath, kind = module_index[name]
+        a, b = np.asarray(lora_a, np.float32), np.asarray(lora_b, np.float32)
+        # Conv LoRAs may carry trailing singleton dims (lora_webui squeeze,
+        # lora_processor.py:232-235)
+        while a.ndim > 2:
+            a = a.squeeze(-1)
+        while b.ndim > 2:
+            b = b.squeeze(-1)
+        delta = b @ a
+
+        leaf_key = "embedding" if kind == "embedding" else "kernel"
+        node = leaf_ref(fpath + (leaf_key,))
+        if node is None:
+            skipped.append(name)
+            continue
+        kernel = np.asarray(node[leaf_key], np.float32)
+        merged = kernel + sign * alpha * _delta_to_flax(delta, kind, kernel.shape)
+        node[leaf_key] = merged.astype(np.asarray(node[leaf_key]).dtype)
+
+        if merge_bias and f"{name}.bias" in lora_sd:
+            bnode = leaf_ref(fpath + ("bias",))
+            if bnode is not None:
+                bias = np.asarray(bnode["bias"], np.float32)
+                bnode["bias"] = (bias + sign * alpha * np.asarray(lora_sd[f"{name}.bias"], np.float32)).astype(bias.dtype)
+
+    return tree, skipped
+
+
+def merge_lvdm_lora(
+    params: dict,
+    lora_sd: Mapping[str, Array],
+    module_index: Mapping[str, tuple[tuple[str, ...], str]],
+    scale: float = 1.0,
+) -> tuple[dict, list[str]]:
+    """cloneofsimo-format merge: ``W += (up @ down) * scale``
+    (lvdm lora.py:620-672)."""
+    import jax
+
+    tree = jax.tree.map(lambda x: x, params)
+    skipped: list[str] = []
+
+    ups = {k[: -len(".lora_up.weight")]: v for k, v in lora_sd.items() if k.endswith(".lora_up.weight")}
+    downs = {k[: -len(".lora_down.weight")]: v for k, v in lora_sd.items() if k.endswith(".lora_down.weight")}
+
+    def leaf_parent(path):
+        node = tree["params"]
+        for seg in path[:-1]:
+            if seg not in node:
+                return None
+            node = node[seg]
+        return node if path[-1] in node else None
+
+    for name, up in ups.items():
+        if name not in downs or name not in module_index:
+            skipped.append(name)
+            continue
+        fpath, kind = module_index[name]
+        u = np.asarray(up, np.float32)
+        d = np.asarray(downs[name], np.float32)
+        while u.ndim > 2:
+            u = u.squeeze(-1)
+        while d.ndim > 2:
+            d = d.squeeze(-1)
+        delta = (u @ d) * scale
+        parent = leaf_parent(fpath + ("kernel",))
+        if parent is None:
+            skipped.append(name)
+            continue
+        kernel = np.asarray(parent["kernel"], np.float32)
+        parent["kernel"] = (kernel + _delta_to_flax(delta, kind, kernel.shape)).astype(kernel.dtype)
+    return tree, skipped
+
+
+def unet_module_index(cfg: ModelScopeUNetConfig):
+    return torch_module_index(cfg)
+
+
+def text_module_index(cfg: CLIPTextConfig):
+    return clip_module_index(cfg)

@@ -1,0 +1,350 @@
+"""End-to-end ModelScope text2video pipeline.
+
+The TPU-native replacement for ``TextToVideoSynthesis`` (t2v_pipeline.py)
+plus the job-runner logic of ``process_modelscope.py``:
+
+  * ``load_pipeline(model_dir)`` reads ``configuration.json`` and the three
+    checkpoints (``text2video_pytorch_model.pth``, ``VQGAN_autoencoder.pth``,
+    ``open_clip_pytorch_model.bin`` — t2v_pipeline.py:67-146) through the
+    torch-free readers, converts to flax trees, and builds the text encoder;
+  * ``infer(args)`` runs text encode → fused-CFG ``lax.scan`` denoise →
+    frame-chunked VAE decode → uint8 RGB frames, entirely on-device — the
+    reference's CLIP/UNet/VAE CPU↔GPU offload dance (t2v_pipeline.py:249-383)
+    is deleted by design (SURVEY.md §2.9);
+  * vid2vid (``compute_latents`` + strength skip, process_modelscope.py:80-147)
+    and img2vid keyframed inpainting masks (:170-219) are supported;
+  * seed policy: per-batch ``seed + batch`` with -1 → random
+    (process_modelscope.py:221, t2v_pipeline.py:223).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t2v.core import rng as rng_lib
+from t2v.core.config import (
+    CLIPTextConfig,
+    ModelScopeUNetConfig,
+    T2VArgs,
+    VAEConfig,
+    sanity_check_args,
+)
+from t2v.core.dtypes import Policy
+from t2v.diffusion.sampling import sample_loop
+from t2v.diffusion.schedules import DiffusionSchedule
+from t2v.models.modelscope_unet import UNetSD
+from t2v.models.vae import AutoencoderKL
+from t2v.pipeline.keyframes import KeyFrameSeries
+from t2v.text.clip import CLIPTextTransformer, convert_open_clip_text
+from t2v.text.encoder import TextEncoder
+from t2v.text.tokenizer import CLIPTokenizer
+
+SCALE_FACTOR = 0.18215  # latent scaling (t2v_pipeline.py:153,185,300)
+DECODE_CHUNK = 8  # frames per VAE decode call (bounds peak HBM)
+
+
+def _spatial_scale(vae_cfg: VAEConfig) -> int:
+    """Pixel→latent downsampling factor (8 for the SD VAE; derived from
+    ch_mult so tiny test configs stay consistent)."""
+    return 2 ** (len(vae_cfg.ch_mult) - 1)
+
+
+@dataclass
+class InferResult:
+    frames: list[np.ndarray]  # RGB uint8 (H, W, 3)
+    latents: jax.Array  # final denoised latents (B, F, h, w, 4)
+    infotext: str
+
+
+@dataclass
+class ModelScopePipeline:
+    unet_cfg: ModelScopeUNetConfig
+    vae_cfg: VAEConfig
+    clip_cfg: CLIPTextConfig
+    policy: Policy
+    unet: UNetSD
+    vae: AutoencoderKL
+    unet_params: Any
+    vae_params: Any
+    text_encoder: Optional[TextEncoder]
+    schedule: DiffusionSchedule
+    model_dir: Optional[str] = None
+    # jit caches keyed by static shapes
+    _decode_fn: Any = field(default=None, repr=False)
+    _encode_fn: Any = field(default=None, repr=False)
+
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def random_init(
+        cls,
+        unet_cfg: ModelScopeUNetConfig | None = None,
+        policy: Policy = Policy(),
+        frames: int = 2,
+        seed: int = 0,
+    ) -> "ModelScopePipeline":
+        """Random-weight pipeline (tests / benchmarks; no checkpoints on
+        disk needed)."""
+        unet_cfg = unet_cfg or ModelScopeUNetConfig().tiny()
+        vae_cfg = VAEConfig().tiny() if unet_cfg.dim < 128 else VAEConfig()
+        clip_cfg = CLIPTextConfig.vit_h_14().tiny() if unet_cfg.dim < 128 else CLIPTextConfig.vit_h_14()
+        clip_cfg = dataclasses.replace(clip_cfg, width=unet_cfg.context_dim)
+
+        unet = UNetSD(cfg=unet_cfg, policy=policy)
+        x = jnp.zeros((1, frames, 8, 8, unet_cfg.in_dim))
+        unet_params = jax.jit(unet.init)(
+            jax.random.key(seed), x, jnp.zeros((1,)),
+            jnp.zeros((1, 77, unet_cfg.context_dim)),
+        )
+        vae = AutoencoderKL(cfg=vae_cfg, policy=policy)
+        vae_params = jax.jit(vae.init)(
+            jax.random.key(seed + 1), jnp.zeros((1, 32, 32, 3))
+        )
+        tokenizer = CLIPTokenizer.for_tests()
+        clip_cfg = dataclasses.replace(clip_cfg, vocab_size=tokenizer.vocab_size)
+        clip = CLIPTextTransformer(cfg=clip_cfg, policy=policy)
+        clip_params = jax.jit(clip.init)(
+            jax.random.key(seed + 2), jnp.zeros((1, 77), jnp.int32)
+        )
+        text_encoder = TextEncoder(clip, clip_params, tokenizer)
+        return cls(
+            unet_cfg=unet_cfg, vae_cfg=vae_cfg, clip_cfg=clip_cfg,
+            policy=policy, unet=unet, vae=vae,
+            unet_params=unet_params, vae_params=vae_params,
+            text_encoder=text_encoder,
+            schedule=DiffusionSchedule.linear_sd(unet_cfg.num_timesteps),
+        )
+
+    @classmethod
+    def from_model_dir(
+        cls, model_dir: str, policy: Policy = Policy.bf16()
+    ) -> "ModelScopePipeline":
+        """Load the reference checkpoint layout (t2v_pipeline.py:67-146)."""
+        from t2v.io.convert import convert_unet, convert_vae
+        from t2v.io.pickle_reader import load_torch_checkpoint
+
+        unet_cfg = ModelScopeUNetConfig.from_configuration_json(model_dir)
+        with open(os.path.join(model_dir, "configuration.json")) as f:
+            model_args = json.load(f)["model"].get("model_args", {})
+        ckpt_unet = model_args.get("ckpt_unet", "text2video_pytorch_model.pth")
+        ckpt_ae = model_args.get("ckpt_autoencoder", "VQGAN_autoencoder.pth")
+        ckpt_clip = model_args.get("ckpt_clip", "open_clip_pytorch_model.bin")
+
+        sd_unet = load_torch_checkpoint(os.path.join(model_dir, ckpt_unet))
+        unet_params = _cast_tree(convert_unet(sd_unet, unet_cfg), policy.param_dtype)
+        del sd_unet
+        unet = UNetSD(cfg=unet_cfg, policy=policy)
+
+        vae_cfg = VAEConfig()
+        sd_vae = load_torch_checkpoint(os.path.join(model_dir, ckpt_ae))
+        vae_params = _cast_tree(convert_vae(sd_vae, vae_cfg), policy.param_dtype)
+        del sd_vae
+        vae = AutoencoderKL(cfg=vae_cfg, policy=policy)
+
+        clip_cfg = CLIPTextConfig.vit_h_14()
+        sd_clip = load_torch_checkpoint(os.path.join(model_dir, ckpt_clip))
+        clip_params = _cast_tree(
+            convert_open_clip_text(sd_clip, clip_cfg), policy.param_dtype
+        )
+        del sd_clip
+        clip = CLIPTextTransformer(cfg=clip_cfg, policy=policy)
+        tokenizer = CLIPTokenizer.find_and_load(model_dir, os.path.dirname(model_dir))
+        text_encoder = TextEncoder(clip, clip_params, tokenizer)
+
+        return cls(
+            unet_cfg=unet_cfg, vae_cfg=vae_cfg, clip_cfg=clip_cfg,
+            policy=policy, unet=unet, vae=vae,
+            unet_params=unet_params, vae_params=vae_params,
+            text_encoder=text_encoder,
+            schedule=DiffusionSchedule.linear_sd(unet_cfg.num_timesteps),
+            model_dir=model_dir,
+        )
+
+    # ------------------------------------------------------------------
+
+    def _vae_apply(self, method):
+        vae, params = self.vae, self.vae_params
+
+        @jax.jit
+        def fn(p, z):
+            return vae.apply(p, z, method=method)
+
+        return lambda z: fn(params, z)
+
+    def compute_latents(self, frames_rgb: np.ndarray) -> jax.Array:
+        """(F, H, W, 3) float in [-1,1] → (1, F, h, w, 4) scaled latents
+        (deterministic posterior mean × 0.18215, t2v_pipeline.py:148-194)."""
+        if self._encode_fn is None:
+            self._encode_fn = self._vae_apply(AutoencoderKL.encode)
+        x = jnp.asarray(frames_rgb, jnp.float32)
+        chunks = []
+        for i in range(0, x.shape[0], DECODE_CHUNK):
+            mean, _ = self._encode_fn(x[i : i + DECODE_CHUNK])
+            chunks.append(mean.astype(jnp.float32) * SCALE_FACTOR)
+        return jnp.concatenate(chunks, axis=0)[None]
+
+    def decode_latents(self, latents: jax.Array) -> np.ndarray:
+        """(F, h, w, 4) scaled latents → (F, H, W, 3) uint8 RGB
+        (frame-chunked decode; chunking bounds HBM, not device hops)."""
+        if self._decode_fn is None:
+            self._decode_fn = self._vae_apply(AutoencoderKL.decode)
+        outs = []
+        z = latents / SCALE_FACTOR
+        n = z.shape[0]
+        for i in range(0, n, DECODE_CHUNK):
+            chunk = z[i : i + DECODE_CHUNK]
+            pad = 0
+            if chunk.shape[0] < DECODE_CHUNK and n > DECODE_CHUNK:
+                pad = DECODE_CHUNK - chunk.shape[0]
+                chunk = jnp.pad(chunk, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            img = self._decode_fn(chunk)
+            if pad:
+                img = img[: DECODE_CHUNK - pad]
+            outs.append(np.asarray(img.astype(jnp.float32)))
+        imgs = np.concatenate(outs, axis=0)
+        # tensor2vid normalisation: mean/std 0.5 (t2v_pipeline.py:447-460)
+        imgs = np.clip(imgs * 0.5 + 0.5, 0.0, 1.0)
+        return (imgs * 255).round().astype(np.uint8)
+
+    # ------------------------------------------------------------------
+
+    def build_inpainting_inputs(
+        self,
+        image_rgb: np.ndarray,
+        args: T2VArgs,
+        key: jax.Array,
+    ) -> tuple[jax.Array, jax.Array]:
+        """img2vid: keyframed mask + masked latents
+        (process_modelscope.py:170-219)."""
+        ss = _spatial_scale(self.vae_cfg)
+        lat_h, lat_w = args.height // ss, args.width // ss
+        keys = KeyFrameSeries(args.frames, args.seed, max(args.inpainting_frames, 1))
+        weights = keys.inpainting_weights(args.inpainting_weights)
+
+        img = np.asarray(image_rgb, np.float32) / 255.0 * 2.0 - 1.0
+        frames = np.repeat(img[None], args.frames, axis=0)
+        image_latents = np.asarray(self.compute_latents(frames))  # (1,F,h,w,4)
+
+        mask = np.ones((1, args.frames, lat_h, lat_w, 4), np.float32)
+        for i in range(args.frames):
+            mask[:, i] = weights[i]
+        noise = np.asarray(
+            jax.random.normal(rng_lib.stream(key, "inpaint_init"), mask.shape)
+        )
+        masked = image_latents * (1 - mask) + noise * mask
+        return jnp.asarray(masked), jnp.asarray(mask)
+
+    # ------------------------------------------------------------------
+
+    def infer(
+        self,
+        args: T2VArgs,
+        *,
+        latents: Optional[jax.Array] = None,
+        mask: Optional[jax.Array] = None,
+        skip_steps: int = 0,
+        is_vid2vid: bool = False,
+        callback: Optional[Callable[[int], None]] = None,
+        callback_interval: Optional[int] = None,
+        batch_index: int = 0,
+        inpaint_mode: str = "initial_only",
+    ) -> InferResult:
+        sanity_check_args(args)
+        seed = rng_lib.resolve_seed(args.seed)
+        batch_seed = seed + batch_index if args.seed != -1 else seed
+        key = rng_lib.key_for_seed(batch_seed)
+
+        steps = args.steps - skip_steps
+        ss = _spatial_scale(self.vae_cfg)
+        lat_h, lat_w = args.height // ss, args.width // ss
+        shape = (1, args.frames, lat_h, lat_w, 4)
+
+        assert self.text_encoder is not None
+        t0 = time.perf_counter()
+        conditioning = self.text_encoder.encode_request(
+            args.prompt, args.n_prompt, steps
+        )
+        t_text = time.perf_counter() - t0
+
+        unet, params = self.unet, self.unet_params
+
+        def apply_fn(x, t, ctx):
+            return unet.apply(params, x, t, ctx)
+
+        t0 = time.perf_counter()
+        x0 = sample_loop(
+            apply_fn,
+            self.schedule,
+            steps=steps,
+            shape=shape,
+            cond=conditioning.cond,
+            uncond=conditioning.uncond,
+            guidance_scale=args.cfg_scale,
+            eta=args.eta,
+            sampler_name=args.sampler,
+            key=key,
+            latents=latents,
+            is_vid2vid=is_vid2vid,
+            strength=args.strength,
+            mask=mask,
+            inpaint_mode=inpaint_mode,
+            callback=callback,
+            callback_interval=callback_interval,
+        )
+        x0.block_until_ready()
+        t_sample = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        frames = self.decode_latents(x0[0])
+        t_decode = time.perf_counter() - t0
+
+        infotext = self.create_infotext(args, batch_seed)
+        print(
+            f"t2v timings: text={t_text:.2f}s sample={t_sample:.2f}s "
+            f"decode={t_decode:.2f}s"
+        )
+        return InferResult(frames=list(frames), latents=x0, infotext=infotext)
+
+    def create_infotext(self, args: T2VArgs, seed: int) -> str:
+        """Generation-parameter provenance string
+        (t2v_pipeline.py:462-469 fields)."""
+        return (
+            f"{args.prompt}\n"
+            f"Negative prompt: {args.n_prompt}\n"
+            f"Steps: {args.steps}, Sampler: {args.sampler}, "
+            f"CFG scale: {args.cfg_scale}, Seed: {seed}, "
+            f"Size: {args.width}x{args.height}, Frames: {args.frames}, "
+            f"Model: {args.model or 'ModelScope'}"
+        )
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree.map(lambda x: jnp.asarray(x, dtype), tree)
+
+
+_PIPELINE_CACHE: dict[tuple, ModelScopePipeline] = {}
+
+
+def load_pipeline(
+    model_dir: str, policy: Policy = Policy.bf16(), keep_in_vram: bool = True
+) -> ModelScopePipeline:
+    """Cached loader with model hot-switch semantics: a new dir tears down
+    the previous pipeline (process_modelscope.py:62-66)."""
+    key = (os.path.abspath(model_dir), policy.param_dtype)
+    if key in _PIPELINE_CACHE:
+        return _PIPELINE_CACHE[key]
+    if not keep_in_vram:
+        _PIPELINE_CACHE.clear()
+    pipe = ModelScopePipeline.from_model_dir(model_dir, policy)
+    _PIPELINE_CACHE.clear()
+    _PIPELINE_CACHE[key] = pipe
+    return pipe

@@ -1,0 +1,186 @@
+"""Text conditioning pipeline: prompt → per-step cond tables.
+
+Ties together the tokenizer, emphasis parser, 75-token chunker, the Flax
+CLIP tower, A1111-style multiplier renormalisation and multi-chunk hstack —
+the semantics of the reference's ``FrozenOpenCLIPEmbedder.forward`` /
+``process_tokens`` (clip_hardcode.py:361-422) — plus prompt-editing
+schedules resolved ahead of time into stacked cond tables for the
+sampler's ``lax.scan`` (replacing per-step ``reconstruct_cond_batch``,
+general_utils.py:27-30).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t2v.core.config import CLIPTextConfig
+from t2v.text import chunking
+from t2v.text.clip import CLIPTextTransformer
+from t2v.text.schedule import parse_prompt_schedule
+from t2v.text.tokenizer import CLIPTokenizer
+
+
+class EmbeddingDB:
+    """Textual-inversion embedding lookup (clip_hardcode.py:219-234 role).
+
+    Embeddings register by name; during chunking, a token run matching a
+    name's tokenization is replaced by the embedding matrix rows.
+    """
+
+    def __init__(self, tokenizer: CLIPTokenizer):
+        self.tokenizer = tokenizer
+        self._by_first_token: dict[int, list[tuple[list[int], np.ndarray]]] = {}
+
+    def register(self, name: str, vectors: np.ndarray):
+        ids = self.tokenizer.encode(name)
+        self._by_first_token.setdefault(ids[0], []).append((ids, vectors))
+
+    def find(self, tokens: list[int], position: int):
+        cands = self._by_first_token.get(tokens[position], [])
+        best = None
+        for ids, vec in cands:
+            if tokens[position : position + len(ids)] == ids:
+                if best is None or len(ids) > len(best[0]):
+                    best = (ids, vec)
+        if best is None:
+            return None, 0
+        return best[1], len(best[0])
+
+    def __bool__(self):
+        return bool(self._by_first_token)
+
+
+@dataclass
+class Conditioning:
+    """cond/uncond tables ready for diffusion.sampling.sample_loop.
+
+    cond / uncond: (L, D) arrays — or (S, L, D) when scheduled (S unique
+    per-step variants expanded to per-step rows).
+    """
+
+    cond: jax.Array
+    uncond: jax.Array
+
+
+class TextEncoder:
+    def __init__(
+        self,
+        model: CLIPTextTransformer,
+        params,
+        tokenizer: CLIPTokenizer,
+        *,
+        comma_backtrack: int = chunking.DEFAULT_COMMA_BACKTRACK,
+        enable_emphasis: bool = True,
+        id_pad: int = 0,
+    ):
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.comma_backtrack = comma_backtrack
+        self.enable_emphasis = enable_emphasis
+        self.id_pad = id_pad
+        self.embedding_db = EmbeddingDB(tokenizer)
+        self._apply = jax.jit(model.apply)
+        self._cache: dict[tuple, np.ndarray] = {}
+
+    # ------------------------------------------------------------------
+
+    def _encode_chunk_batch(self, tokens: np.ndarray, multipliers: np.ndarray, fixes) -> jax.Array:
+        """One 77-token chunk through the tower + weight renorm
+        (process_tokens, clip_hardcode.py:397-422)."""
+        if self.id_pad != self.tokenizer.eos_id:
+            tokens = chunking.pad_after_eos(tokens, self.tokenizer.eos_id, self.id_pad)
+        if fixes and any(fixes):
+            z = self._apply_with_fixes(tokens, fixes)
+        else:
+            z = self._apply(self.params, jnp.asarray(tokens))
+        mult = jnp.asarray(multipliers, z.dtype)[..., None]
+        original_mean = z.mean()
+        z = z * mult
+        z = z * (original_mean / z.mean())
+        return z
+
+    def _apply_with_fixes(self, tokens: np.ndarray, fixes) -> jax.Array:
+        """Textual-inversion forward: splice embedding rows into the token
+        embeddings before the transformer (the A1111 hijack's role). The +1
+        offset accounts for the BOS prepended after fixes were recorded."""
+        emb_table = np.asarray(self.params["params"]["token_embedding"]["embedding"])
+        x = emb_table[tokens].copy()
+        for row, row_fixes in enumerate(fixes):
+            for pos, vec in row_fixes:
+                n = min(vec.shape[0], x.shape[1] - (pos + 1))
+                x[row, pos + 1 : pos + 1 + n] = vec[:n]
+        return self.model.apply(
+            self.params, jnp.asarray(tokens), input_embeddings=jnp.asarray(x)
+        )
+
+    def encode_line(self, line: str) -> np.ndarray:
+        """(77*chunks, D) embedding for one prompt line, cached."""
+        key = (line, self.comma_backtrack, self.enable_emphasis)
+        if key in self._cache:
+            return self._cache[key]
+        db = self.embedding_db.find if self.embedding_db else None
+        chunks, _ = chunking.tokenize_line(
+            line,
+            self.tokenizer,
+            enable_emphasis=self.enable_emphasis,
+            comma_backtrack=self.comma_backtrack,
+            embedding_db=db,
+        )
+        zs = []
+        for ch in chunks:
+            z = self._encode_chunk_batch(
+                np.asarray([ch.tokens], np.int32),
+                np.asarray([ch.multipliers], np.float32),
+                [ch.fixes],
+            )
+            zs.append(np.asarray(z[0]))
+        out = np.concatenate(zs, axis=0)
+        self._cache[key] = out
+        return out
+
+    # ------------------------------------------------------------------
+
+    def encode_request(self, prompt: str, n_prompt: str, steps: int) -> Conditioning:
+        """Full request conditioning with prompt-editing support.
+
+        Static prompts produce (1, L, D); scheduled ones (S, 1, L, D) with
+        one row per sampling step.
+        """
+        sched_c = parse_prompt_schedule(prompt, steps)
+        sched_uc = parse_prompt_schedule(n_prompt, steps)
+
+        zs_c = [self.encode_line(p) for p in sched_c.prompts]
+        zs_uc = [self.encode_line(p) for p in sched_uc.prompts]
+
+        # chunk-count alignment: pad the shorter side with empty-chunk
+        # encodings so fused CFG can concatenate (cf. reference uc/c length
+        # alignment, t2v_model.py:1528-1533)
+        max_len = max(z.shape[0] for z in zs_c + zs_uc)
+        empty = None
+
+        def pad(z: np.ndarray) -> np.ndarray:
+            nonlocal empty
+            if z.shape[0] == max_len:
+                return z
+            if empty is None:
+                empty = self.encode_line("")
+            reps = (max_len - z.shape[0]) // empty.shape[0]
+            return np.concatenate([z] + [empty] * reps, axis=0)
+
+        zs_c = [pad(z) for z in zs_c]
+        zs_uc = [pad(z) for z in zs_uc]
+
+        if sched_c.is_static and sched_uc.is_static:
+            return Conditioning(
+                cond=jnp.asarray(zs_c[0])[None],
+                uncond=jnp.asarray(zs_uc[0])[None],
+            )
+        cond = jnp.asarray(np.stack([zs_c[i] for i in sched_c.index]))[:, None]
+        uncond = jnp.asarray(np.stack([zs_uc[i] for i in sched_uc.index]))[:, None]
+        return Conditioning(cond=cond, uncond=uncond)

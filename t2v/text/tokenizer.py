@@ -1,0 +1,180 @@
+"""Self-contained CLIP BPE tokenizer (no open_clip / transformers / network).
+
+The reference reaches tokenization through ``open_clip.tokenize`` inside its
+A1111 prompt pipeline (clip_hardcode.py:59-145). This is a from-scratch
+implementation of the same byte-level BPE scheme:
+
+  * byte→printable-unicode table, lowercasing, whitespace collapsing,
+    html unescaping (ftfy repair is skipped — not available offline; the
+    practical effect is nil for well-formed UTF-8 prompts);
+  * the standard CLIP split regex (contractions, letters, numbers,
+    punctuation runs);
+  * greedy lowest-rank merge loop with the ``</w>`` end-of-word marker.
+
+The merge table loads from the standard ``bpe_simple_vocab_16e6.txt.gz``
+(place it in the model dir or pass an explicit path). For environments
+without the vocab file, ``CLIPTokenizer.for_tests`` builds a deterministic
+toy vocab so the chunking/weighting machinery stays unit-testable.
+
+Special ids in the real vocab: BOS 49406, EOS 49407, vocab 49408.
+"""
+
+from __future__ import annotations
+
+import gzip
+import html
+import os
+from functools import lru_cache
+
+import regex as re
+
+SPLIT_PATTERN = re.compile(
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+    re.IGNORECASE,
+)
+
+
+@lru_cache()
+def bytes_to_unicode() -> dict[int, str]:
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def _clean(text: str) -> str:
+    text = html.unescape(html.unescape(text))
+    text = re.sub(r"\s+", " ", text)
+    return text.strip()
+
+
+class CLIPTokenizer:
+    def __init__(self, merges: list[tuple[str, str]]):
+        self.byte_encoder = bytes_to_unicode()
+        vocab = list(self.byte_encoder.values())
+        vocab = vocab + [v + "</w>" for v in vocab]
+        for merge in merges:
+            vocab.append("".join(merge))
+        vocab.extend(["<|startoftext|>", "<|endoftext|>"])
+        self.encoder = {tok: i for i, tok in enumerate(vocab)}
+        self.decoder = {i: tok for tok, i in self.encoder.items()}
+        self.bpe_ranks = {m: i for i, m in enumerate(merges)}
+        self.bos_id = self.encoder["<|startoftext|>"]
+        self.eos_id = self.encoder["<|endoftext|>"]
+        self.vocab_size = len(vocab)
+        self._bpe_cache: dict[str, str] = {
+            "<|startoftext|>": "<|startoftext|>",
+            "<|endoftext|>": "<|endoftext|>",
+        }
+
+    # ---- constructors -----------------------------------------------------
+
+    @classmethod
+    def from_vocab_file(cls, path: str) -> "CLIPTokenizer":
+        """Load the standard gzip merge list (49152-256-2+1 lines used)."""
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt", encoding="utf-8") as f:
+            lines = f.read().split("\n")
+        lines = lines[1 : 49152 - 256 - 2 + 1]
+        merges = [tuple(line.split()) for line in lines]
+        return cls(merges)
+
+    @classmethod
+    def find_and_load(cls, *search_dirs: str) -> "CLIPTokenizer":
+        names = ("bpe_simple_vocab_16e6.txt.gz", "bpe_simple_vocab_16e6.txt")
+        for d in search_dirs:
+            for n in names:
+                p = os.path.join(d, n)
+                if os.path.exists(p):
+                    return cls.from_vocab_file(p)
+        raise FileNotFoundError(
+            f"CLIP BPE vocab not found in {search_dirs}; place "
+            "bpe_simple_vocab_16e6.txt.gz in the model directory"
+        )
+
+    @classmethod
+    def for_tests(cls) -> "CLIPTokenizer":
+        """Deterministic toy vocab: a few common-word merges, rest falls
+        back to byte tokens. NOT CLIP-compatible — unit tests only."""
+        words = [
+            "the", "cat", "dog", "a", "photo", "of", "in", "forest",
+            "bunny", "masterpiece", "watermark", "text", "blurry",
+        ]
+        merges: list[tuple[str, str]] = []
+        for w in words:
+            # build left-to-right merges: (t, h) (th, e</w>) ...
+            parts = list(w[:-1]) + [w[-1] + "</w>"]
+            while len(parts) > 1:
+                merges.append((parts[0], parts[1]))
+                parts = ["".join(parts[0:2])] + parts[2:]
+        seen = set()
+        uniq = [m for m in merges if not (m in seen or seen.add(m))]
+        return cls(uniq)
+
+    # ---- BPE --------------------------------------------------------------
+
+    def _bpe(self, token: str) -> str:
+        if token in self._bpe_cache:
+            return self._bpe_cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        pairs = set(zip(word[:-1], word[1:]))
+        if not pairs:
+            return token + "</w>"
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word: list[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = set(zip(word[:-1], word[1:]))
+        out = " ".join(word)
+        self._bpe_cache[token] = out
+        return out
+
+    def encode(self, text: str) -> list[int]:
+        """Plain token ids, no BOS/EOS (chunking adds those)."""
+        ids: list[int] = []
+        text = _clean(text).lower()
+        for token in SPLIT_PATTERN.findall(text):
+            btok = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            for sub in self._bpe(btok).split(" "):
+                ids.append(self.encoder[sub])
+        return ids
+
+    def decode(self, ids: list[int]) -> str:
+        text = "".join(self.decoder[i] for i in ids)
+        byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        raw = bytearray()
+        for ch in text.replace("</w>", " "):
+            if ch in byte_decoder:
+                raw.append(byte_decoder[ch])
+            else:
+                raw.extend(ch.encode("utf-8"))
+        return raw.decode("utf-8", errors="replace").strip()

@@ -13,8 +13,18 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The environment's 'axon' plugin rewrites jax_platforms to "axon,cpu" at
+# import, overriding the JAX_PLATFORMS env var — force cpu via config so
+# tests never contend for the single real TPU chip.
+jax.config.update("jax_platforms", "cpu")
+
+# the CPU backend emulates TPU default (bf16) matmul precision; parity tests
+# need exact fp32 accumulation
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture

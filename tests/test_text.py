@@ -1,0 +1,270 @@
+"""Text subsystem tests: tokenizer, emphasis parsing, chunking, scheduling,
+CLIP tower parity vs torch, encoder pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from t2v.core.config import CLIPTextConfig
+from t2v.core.dtypes import Policy
+from t2v.text import chunking
+from t2v.text.clip import CLIPTextTransformer, convert_open_clip_text
+from t2v.text.encoder import TextEncoder
+from t2v.text.prompt_parser import parse_prompt_attention
+from t2v.text.schedule import parse_prompt_schedule, resolve_prompt_at_step
+from t2v.text.tokenizer import CLIPTokenizer
+
+TOK = CLIPTokenizer.for_tests()
+
+
+class TestPromptAttention:
+    def test_plain(self):
+        assert parse_prompt_attention("a cat") == [["a cat", 1.0]]
+
+    def test_round_brackets(self):
+        out = parse_prompt_attention("a (cat) dog")
+        assert out == [["a ", 1.0], ["cat", 1.1], [" dog", 1.0]]
+
+    def test_square_brackets(self):
+        out = parse_prompt_attention("[cat]")
+        assert out == [["cat", 1 / 1.1]]
+
+    def test_explicit_weight(self):
+        out = parse_prompt_attention("(cat:1.5)")
+        assert out == [["cat", 1.5]]
+
+    def test_nested(self):
+        out = parse_prompt_attention("((cat))")
+        assert out == [["cat", pytest.approx(1.1 * 1.1)]]
+
+    def test_escapes(self):
+        out = parse_prompt_attention(r"\(cat\)")
+        assert out == [["(cat)", 1.0]]
+
+    def test_break(self):
+        out = parse_prompt_attention("a BREAK b")
+        assert ["BREAK", -1] in out
+
+    def test_unclosed_bracket(self):
+        out = parse_prompt_attention("(cat")
+        assert out == [["cat", 1.1]]
+
+    def test_empty(self):
+        assert parse_prompt_attention("") == [["", 1.0]]
+
+
+class TestTokenizer:
+    def test_roundtrip_known_words(self):
+        ids = TOK.encode("the cat")
+        assert TOK.decode(ids) == "the cat"
+
+    def test_known_word_single_token(self):
+        assert len(TOK.encode("cat")) == 1
+
+    def test_unknown_word_byte_fallback(self):
+        ids = TOK.encode("zqxj")
+        assert len(ids) >= 2
+        assert TOK.decode(ids) == "zqxj"
+
+    def test_lowercase_and_whitespace(self):
+        assert TOK.encode("  The   CAT ") == TOK.encode("the cat")
+
+    def test_specials(self):
+        assert TOK.bos_id != TOK.eos_id
+        assert TOK.vocab_size > 512
+
+
+class TestChunking:
+    def test_single_chunk_shape(self):
+        chunks, count = chunking.tokenize_line("a cat", TOK)
+        assert len(chunks) == 1
+        assert len(chunks[0].tokens) == 77
+        assert chunks[0].tokens[0] == TOK.bos_id
+        assert chunks[0].tokens[-1] == TOK.eos_id
+        assert len(chunks[0].multipliers) == 77
+
+    def test_weights_propagate(self):
+        chunks, _ = chunking.tokenize_line("(cat:1.5)", TOK)
+        assert 1.5 in chunks[0].multipliers
+
+    def test_break_forces_new_chunk(self):
+        chunks, _ = chunking.tokenize_line("cat BREAK dog", TOK)
+        assert len(chunks) == 2
+
+    def test_long_prompt_spills(self):
+        line = " ".join(["cat"] * 100)
+        chunks, count = chunking.tokenize_line(line, TOK)
+        assert len(chunks) == 2
+        # 75 tokens in the full first chunk + 25 in the unpadded tail
+        assert count == 100
+
+    def test_comma_backtrack(self):
+        # 74 filler tokens then ", dog": the comma lands near the boundary so
+        # "dog" must move to the next chunk
+        line = " ".join(["cat"] * 70) + ", dog " + " ".join(["cat"] * 10)
+        chunks, _ = chunking.tokenize_line(line, TOK, comma_backtrack=20)
+        # find where 'dog' token went
+        dog_id = TOK.encode("dog")[0]
+        locations = [i for i, ch in enumerate(chunks) if dog_id in ch.tokens]
+        assert locations, "dog token lost"
+
+    def test_pad_after_eos(self):
+        tokens = np.array([[TOK.bos_id, 5, TOK.eos_id, TOK.eos_id, TOK.eos_id]])
+        out = chunking.pad_after_eos(tokens, TOK.eos_id, 0)
+        assert list(out[0]) == [TOK.bos_id, 5, TOK.eos_id, 0, 0]
+
+
+class TestSchedule:
+    def test_static(self):
+        s = parse_prompt_schedule("a cat", 10)
+        assert s.is_static and s.prompts == ("a cat",)
+
+    def test_from_to_when_fraction(self):
+        s = parse_prompt_schedule("a [cat:dog:0.5] x", 10)
+        assert s.prompts == ("a cat x", "a dog x")
+        assert s.index == (0,) * 5 + (1,) * 5
+
+    def test_from_to_when_int(self):
+        assert resolve_prompt_at_step("[a:b:3]", 3, 10) == "a"
+        assert resolve_prompt_at_step("[a:b:3]", 4, 10) == "b"
+
+    def test_add_after(self):
+        assert resolve_prompt_at_step("x [cool:5]", 2, 10) == "x "
+        assert resolve_prompt_at_step("x [cool:5]", 7, 10) == "x cool"
+
+    def test_alternation(self):
+        assert resolve_prompt_at_step("[a|b]", 1, 10) == "a"
+        assert resolve_prompt_at_step("[a|b]", 2, 10) == "b"
+        assert resolve_prompt_at_step("[a|b]", 3, 10) == "a"
+
+    def test_nested(self):
+        out = resolve_prompt_at_step("[[a:b:2]:c:5]", 1, 10)
+        assert out == "a"
+        assert resolve_prompt_at_step("[[a:b:2]:c:5]", 3, 10) == "b"
+        assert resolve_prompt_at_step("[[a:b:2]:c:5]", 6, 10) == "c"
+
+
+CFG = CLIPTextConfig(width=64, layers=3, heads=4, vocab_size=TOK.vocab_size, layer="last")
+
+
+def make_torch_clip_sd(cfg, rng):
+    r = lambda *s: rng.normal(size=s).astype(np.float32) * 0.05
+    sd = {
+        "token_embedding.weight": r(cfg.vocab_size, cfg.width),
+        "positional_embedding": r(cfg.context_length, cfg.width),
+        "ln_final.weight": 1 + r(cfg.width),
+        "ln_final.bias": r(cfg.width),
+    }
+    for i in range(cfg.layers):
+        p = f"transformer.resblocks.{i}"
+        sd[f"{p}.ln_1.weight"] = 1 + r(cfg.width)
+        sd[f"{p}.ln_1.bias"] = r(cfg.width)
+        sd[f"{p}.ln_2.weight"] = 1 + r(cfg.width)
+        sd[f"{p}.ln_2.bias"] = r(cfg.width)
+        sd[f"{p}.attn.in_proj_weight"] = r(3 * cfg.width, cfg.width)
+        sd[f"{p}.attn.in_proj_bias"] = r(3 * cfg.width)
+        sd[f"{p}.attn.out_proj.weight"] = r(cfg.width, cfg.width)
+        sd[f"{p}.attn.out_proj.bias"] = r(cfg.width)
+        sd[f"{p}.mlp.c_fc.weight"] = r(4 * cfg.width, cfg.width)
+        sd[f"{p}.mlp.c_fc.bias"] = r(4 * cfg.width)
+        sd[f"{p}.mlp.c_proj.weight"] = r(cfg.width, 4 * cfg.width)
+        sd[f"{p}.mlp.c_proj.bias"] = r(cfg.width)
+    return sd
+
+
+def torch_clip_forward(sd, tokens, cfg, stop_last=0):
+    """Torch-functional OpenCLIP text tower forward (the semantics of
+    clip_hardcode.py encode_with_transformer :269-276)."""
+    tt = lambda k: torch.from_numpy(sd[k])
+    x = tt("token_embedding.weight")[torch.from_numpy(tokens)]
+    x = x + tt("positional_embedding")[: x.shape[1]]
+    L = x.shape[1]
+    mask = torch.full((L, L), float("-inf")).triu(1)
+    for i in range(cfg.layers - stop_last):
+        p = f"transformer.resblocks.{i}"
+        h = F.layer_norm(x, (cfg.width,), tt(f"{p}.ln_1.weight"), tt(f"{p}.ln_1.bias"))
+        qkv = F.linear(h, tt(f"{p}.attn.in_proj_weight"), tt(f"{p}.attn.in_proj_bias"))
+        q, k, v = qkv.chunk(3, dim=-1)
+        b, s, w = q.shape
+        hd = w // cfg.heads
+        fold = lambda t: t.reshape(b, s, cfg.heads, hd).permute(0, 2, 1, 3)
+        q, k, v = fold(q), fold(k), fold(v)
+        scores = q @ k.transpose(-1, -2) * hd**-0.5 + mask
+        attn = scores.softmax(-1)
+        o = (attn @ v).permute(0, 2, 1, 3).reshape(b, s, w)
+        x = x + F.linear(o, tt(f"{p}.attn.out_proj.weight"), tt(f"{p}.attn.out_proj.bias"))
+        h = F.layer_norm(x, (cfg.width,), tt(f"{p}.ln_2.weight"), tt(f"{p}.ln_2.bias"))
+        h = F.linear(h, tt(f"{p}.mlp.c_fc.weight"), tt(f"{p}.mlp.c_fc.bias"))
+        h = F.gelu(h)
+        x = x + F.linear(h, tt(f"{p}.mlp.c_proj.weight"), tt(f"{p}.mlp.c_proj.bias"))
+    return F.layer_norm(x, (cfg.width,), tt("ln_final.weight"), tt("ln_final.bias")).numpy()
+
+
+class TestCLIPTower:
+    def test_parity_last_layer(self, rng):
+        sd = make_torch_clip_sd(CFG, rng)
+        model = CLIPTextTransformer(cfg=CFG)
+        params = convert_open_clip_text(sd, CFG)
+        tokens = np.array([[TOK.bos_id, 5, 9, TOK.eos_id] + [0] * 73], np.int32)
+        ours = np.asarray(model.apply(params, jnp.asarray(tokens)))
+        theirs = torch_clip_forward(sd, tokens, CFG)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+    def test_penultimate_drops_last_block(self, rng):
+        import dataclasses
+        cfg_pen = dataclasses.replace(CFG, layer="penultimate")
+        sd = make_torch_clip_sd(cfg_pen, rng)
+        model = CLIPTextTransformer(cfg=cfg_pen)
+        params = convert_open_clip_text(sd, cfg_pen)
+        assert "resblock_2" not in params["params"]
+        tokens = np.array([[TOK.bos_id, 5, TOK.eos_id] + [0] * 74], np.int32)
+        ours = np.asarray(model.apply(params, jnp.asarray(tokens)))
+        theirs = torch_clip_forward(sd, tokens, cfg_pen, stop_last=1)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+class TestTextEncoder:
+    def _make(self, rng):
+        sd = make_torch_clip_sd(CFG, rng)
+        model = CLIPTextTransformer(cfg=CFG)
+        params = convert_open_clip_text(sd, CFG)
+        return TextEncoder(model, params, TOK)
+
+    def test_static_conditioning(self, rng):
+        enc = self._make(rng)
+        c = enc.encode_request("a cat", "blurry", 10)
+        assert c.cond.shape == (1, 77, CFG.width)
+        assert c.uncond.shape == (1, 77, CFG.width)
+
+    def test_weighting_changes_embedding(self, rng):
+        enc = self._make(rng)
+        z1 = enc.encode_line("a cat")
+        z2 = enc.encode_line("a (cat:1.8)")
+        assert not np.allclose(z1, z2)
+
+    def test_scheduled_conditioning(self, rng):
+        enc = self._make(rng)
+        c = enc.encode_request("a [cat:dog:0.5]", "", 6)
+        assert c.cond.shape == (6, 1, 77, CFG.width)
+        # first half == step0 row, second half differs
+        assert np.allclose(c.cond[0], c.cond[2])
+        assert not np.allclose(c.cond[0], c.cond[5])
+
+    def test_multi_chunk_alignment(self, rng):
+        enc = self._make(rng)
+        long_prompt = " ".join(["cat"] * 100)
+        c = enc.encode_request(long_prompt, "dog", 4)
+        assert c.cond.shape == c.uncond.shape
+        assert c.cond.shape[1] == 154  # two chunks
+
+    def test_textual_inversion(self, rng):
+        enc = self._make(rng)
+        base = enc.encode_line("a cat")
+        vec = rng.normal(size=(2, CFG.width)).astype(np.float32)
+        enc.embedding_db.register("cat", vec)
+        enc._cache.clear()
+        with_ti = enc.encode_line("a cat")
+        assert not np.allclose(base, with_ti)
