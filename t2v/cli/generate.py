@@ -1,0 +1,156 @@
+"""Generation CLI — the framework's primary UX (replacing the reference's
+Gradio tab role, per the north star's "stripped of Auto1111/gradio
+entanglement"). Flags mirror the T2VArgs schema (args.py:219-236) plus the
+VideoCrafter standalone CLI's extras (sample_text2video.py:165-255:
+--ddp becomes --dp-shards over the jax mesh).
+
+Usage:
+  python -m t2v.cli.generate --model-dir /path/to/modelscope \\
+      --prompt "a bunny in the forest" --frames 24 --steps 30
+  python -m t2v.cli.generate --serve --port 7860      # WebAPI server
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("t2v.generate", description=__doc__)
+    p.add_argument("--model-dir", help="ModelScope-layout model directory")
+    p.add_argument("--model", default="<modelscope>", help="model name (general_utils.py:17-25 mapping)")
+    p.add_argument("--model-type", default="ModelScope", choices=["ModelScope", "VideoCrafter"])
+    p.add_argument("--prompt", default="")
+    p.add_argument("--n-prompt", default="text, watermark, copyright, blurry, nsfw")
+    p.add_argument("--sampler", default="DDIM_Gaussian", choices=["DDIM_Gaussian", "DDIM", "UniPC"])
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--seed", type=int, default=-1)
+    p.add_argument("--cfg-scale", type=float, default=17.0)
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--eta", type=float, default=0.0)
+    p.add_argument("--batch-count", type=int, default=1)
+    # vid2vid
+    p.add_argument("--vid2vid-input", help="source video for vid2vid")
+    p.add_argument("--strength", type=float, default=0.75)
+    p.add_argument("--vid2vid-start-frame", type=int, default=0)
+    # img2vid inpainting
+    p.add_argument("--inpainting-image")
+    p.add_argument("--inpainting-frames", type=int, default=0)
+    p.add_argument("--inpainting-weights", default='0:(t/max_i_f), "max_i_f":(1)')
+    # lora
+    p.add_argument("--lora", action="append", default=[], help=".safetensors stable-lora file (repeatable)")
+    p.add_argument("--lora-alpha", type=float, default=1.0)
+    # output
+    p.add_argument("--outdir")
+    p.add_argument("--fps", type=int, default=15)
+    p.add_argument("--crf", type=int, default=17)
+    p.add_argument("--preset", default="slow")
+    p.add_argument("--add-soundtrack", default="None", choices=["None", "File", "Init Video"])
+    p.add_argument("--soundtrack-path", default="")
+    p.add_argument("--skip-video-creation", action="store_true")
+    # runtime
+    p.add_argument("--fp32", action="store_true", help="fp32 weights (default bf16)")
+    p.add_argument("--dp-shards", type=int, default=1, help="data-parallel sampling across devices")
+    p.add_argument("--profile", help="write a jax profiler trace to this dir")
+    # server mode
+    p.add_argument("--serve", action="store_true", help="run the WebAPI instead")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--json", action="store_true", help="print result as JSON")
+    return p
+
+
+def main(argv=None) -> int:
+    ns = build_parser().parse_args(argv)
+
+    if ns.serve:
+        try:
+            import uvicorn
+
+            from t2v.api.app import create_app
+
+            uvicorn.run(create_app(), host=ns.host, port=ns.port)
+        except ImportError:
+            from t2v.api.stdlib_server import serve
+
+            serve(host=ns.host, port=ns.port)
+        return 0
+
+    from t2v.core.config import T2VArgs, T2VOutputArgs
+    from t2v.core.dtypes import Policy
+    from t2v.pipeline.pipeline import ModelScopePipeline
+    from t2v.pipeline.run import run
+
+    args = T2VArgs(
+        prompt=ns.prompt,
+        n_prompt=ns.n_prompt,
+        sampler=ns.sampler,
+        steps=ns.steps,
+        frames=ns.frames,
+        seed=ns.seed,
+        cfg_scale=ns.cfg_scale,
+        width=ns.width,
+        height=ns.height,
+        eta=ns.eta,
+        batch_count=ns.batch_count,
+        do_vid2vid=bool(ns.vid2vid_input),
+        vid2vid_input=ns.vid2vid_input,
+        strength=ns.strength,
+        vid2vid_startFrame=ns.vid2vid_start_frame,
+        inpainting_image=ns.inpainting_image,
+        inpainting_frames=ns.inpainting_frames,
+        inpainting_weights=ns.inpainting_weights,
+        model_type=ns.model_type,
+        model=ns.model,
+    )
+    out_args = T2VOutputArgs(
+        skip_video_creation=ns.skip_video_creation,
+        fps=ns.fps,
+        ffmpeg_crf=ns.crf,
+        ffmpeg_preset=ns.preset,
+        add_soundtrack=ns.add_soundtrack,
+        soundtrack_path=ns.soundtrack_path,
+    )
+
+    policy = Policy.fp32() if ns.fp32 else Policy.bf16()
+    pipe = None
+    if ns.model_dir:
+        pipe = ModelScopePipeline.from_model_dir(ns.model_dir, policy)
+        for lora_path in ns.lora:
+            from t2v.io.safetensors_io import load_safetensors
+            from t2v.pipeline.lora import merge_stable_lora, unet_module_index
+
+            lora_sd, meta = load_safetensors(lora_path)
+            merged, skipped = merge_stable_lora(
+                pipe.unet_params, lora_sd, ns.lora_alpha, unet_module_index(pipe.unet_cfg)
+            )
+            pipe.unet_params = merged
+            print(f"merged LoRA {os.path.basename(lora_path)} (skipped {len(skipped)} modules)")
+
+    if ns.profile:
+        import jax
+
+        jax.profiler.start_trace(ns.profile)
+
+    result = run(args, out_args, pipe=pipe, outdir=ns.outdir)
+
+    if ns.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+
+    if ns.json:
+        print(json.dumps({"videos": result.videos, "infotexts": result.infotexts}))
+    else:
+        for v in result.videos:
+            print(v)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,194 @@
+"""Job runner — the reference's ``render.run`` + ``process_modelscope``
+orchestration (render.py:15-44, process_modelscope.py:34-266) rebuilt:
+
+  * dispatches on ``model_type`` (ModelScope | VideoCrafter);
+  * model hot-switch by directory (process_modelscope.py:62-66);
+  * vid2vid frame extraction → latent encode → ``skip_steps =
+    floor(steps*(1-strength))`` (:80-147);
+  * img2vid keyframed inpainting mask (:170-219, strength forced to 1);
+  * per-batch loop with cooperative interrupt/skip via
+    ``t2v.core.state.JobState`` and seed+batch policy (:160-226);
+  * PNG frame dump + ``args.txt`` infotext + mp4 stitch with metadata +
+    base64 data-URLs (:229-266).
+
+Where the reference renders a hardcoded error video on failure
+(render.py:35-37, error_hardcode.py), we return a structured error — the
+API layer converts it to the same observable behaviour.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from t2v.core.config import T2VArgs, T2VOutputArgs, sanity_check_args
+from t2v.core.state import InterruptedException, JobState, SkippedException, state as default_state
+from t2v.media.video import ffmpeg_stitch_video, vid2frames, video_to_data_url
+from t2v.pipeline.pipeline import ModelScopePipeline, load_pipeline
+
+
+@dataclass
+class RunResult:
+    videos: list[str] = field(default_factory=list)  # mp4 paths
+    data_urls: list[str] = field(default_factory=list)
+    frame_dirs: list[str] = field(default_factory=list)
+    infotexts: list[str] = field(default_factory=list)
+    interrupted: bool = False
+
+
+def _default_outdir() -> str:
+    return os.path.join(os.getcwd(), "outputs", "text2video")
+
+
+def _prepare_vid2vid(pipe: ModelScopePipeline, args: T2VArgs):
+    """vid2vid inputs (process_modelscope.py:80-147)."""
+    import math
+
+    frames = vid2frames(
+        args.vid2vid_input,
+        start_frame=args.vid2vid_startFrame,
+        end_frame=args.vid2vid_startFrame + args.frames,
+    )
+    if len(frames) < args.frames:
+        raise ValueError(
+            f"source video supplied {len(frames)} frames, need {args.frames}"
+        )
+    import cv2
+
+    resized = [
+        cv2.resize(f, (args.width, args.height), interpolation=cv2.INTER_LANCZOS4)
+        for f in frames
+    ]
+    arr = np.stack(resized).astype(np.float32) / 255.0 * 2.0 - 1.0
+    latents = pipe.compute_latents(arr)
+    skip_steps = int(
+        math.floor(args.steps * max(0.0, min(1.0 - args.strength, 1.0)))
+    )
+    return latents, skip_steps
+
+
+def run(
+    args: T2VArgs,
+    out_args: T2VOutputArgs | None = None,
+    *,
+    pipe: Optional[ModelScopePipeline] = None,
+    outdir: Optional[str] = None,
+    job_state: Optional[JobState] = None,
+    save_frames: bool = True,
+    callback_interval: Optional[int] = 5,
+) -> RunResult:
+    out_args = out_args or T2VOutputArgs()
+    job_state = job_state or default_state
+    sanity_check_args(args)
+
+    if pipe is None:
+        if args.model_type == "VideoCrafter":
+            raise NotImplementedError(
+                "VideoCrafter path: use t2v.pipeline.videocrafter"
+            )
+        pipe = load_pipeline(_resolve_model_dir(args.model))
+
+    job_state.reset()
+    result = RunResult()
+    timestring = time.strftime("%Y%m%d%H%M%S")
+    outdir = outdir or _default_outdir()
+
+    # vid2vid / img2vid preparation (outside the batch loop, like the
+    # reference's latent prep)
+    latents = None
+    mask = None
+    skip_steps = 0
+    is_vid2vid = False
+    if args.do_vid2vid and args.vid2vid_input:
+        latents, skip_steps = _prepare_vid2vid(pipe, args)
+        is_vid2vid = True
+
+    from t2v.core import rng as rng_lib
+
+    resolved_seed = rng_lib.resolve_seed(args.seed)
+
+    for batch in range(args.batch_count):
+        if job_state.interrupted:
+            result.interrupted = True
+            break
+        job_state.begin_job(batch, args.batch_count, args.steps - skip_steps)
+
+        batch_args = args.replace(seed=resolved_seed)
+
+        if args.inpainting_frames > 0 and args.inpainting_image:
+            import cv2
+
+            img = cv2.cvtColor(cv2.imread(args.inpainting_image), cv2.COLOR_BGR2RGB)
+            img = cv2.resize(img, (args.width, args.height))
+            key = rng_lib.key_for_seed(resolved_seed + batch)
+            latents, mask = pipe.build_inpainting_inputs(img, batch_args, key)
+            batch_args = batch_args.replace(strength=1.0)
+
+        try:
+            res = pipe.infer(
+                batch_args,
+                latents=latents,
+                mask=mask,
+                skip_steps=skip_steps,
+                is_vid2vid=is_vid2vid,
+                batch_index=batch,
+                callback=job_state.step_callback,
+                callback_interval=callback_interval,
+            )
+        except SkippedException:
+            continue
+        except InterruptedException:
+            result.interrupted = True
+            break
+
+        batch_dir = os.path.join(
+            outdir, timestring if batch == 0 else f"{timestring}_{batch}"
+        )
+        os.makedirs(batch_dir, exist_ok=True)
+
+        if save_frames:
+            import cv2
+
+            for i, frame in enumerate(res.frames):
+                cv2.imwrite(
+                    os.path.join(batch_dir, f"{i:09d}.png"),
+                    cv2.cvtColor(frame, cv2.COLOR_RGB2BGR),
+                )
+            with open(os.path.join(batch_dir, "args.txt"), "w") as f:
+                f.write(res.infotext)
+
+        mp4_path = os.path.join(batch_dir, "vid.mp4")
+        if not out_args.skip_video_creation:
+            ffmpeg_stitch_video(
+                frames=res.frames,
+                out_path=mp4_path,
+                fps=out_args.fps,
+                crf=out_args.ffmpeg_crf,
+                preset=out_args.ffmpeg_preset,
+                metadata_comment=res.infotext,
+                add_soundtrack=out_args.add_soundtrack,
+                audio_path=out_args.soundtrack_path or None,
+                ffmpeg_location=out_args.ffmpeg_location,
+            )
+            result.videos.append(mp4_path)
+            result.data_urls.append(video_to_data_url(mp4_path))
+        result.frame_dirs.append(batch_dir)
+        result.infotexts.append(res.infotext)
+
+    return result
+
+
+def _resolve_model_dir(model: str) -> str:
+    """Model-name → directory mapping (general_utils.py:17-25):
+    '<modelscope>' → models/ModelScope/t2v, '<videocrafter>' →
+    models/VideoCrafter, else models/text2video/<name>."""
+    root = os.environ.get("T2V_MODELS_ROOT", os.path.join(os.getcwd(), "models"))
+    if model == "<modelscope>":
+        return os.path.join(root, "ModelScope", "t2v")
+    if model == "<videocrafter>":
+        return os.path.join(root, "VideoCrafter")
+    return os.path.join(root, "text2video", model)

@@ -1,0 +1,127 @@
+"""API + orchestrator integration tests (tiny random-weight pipeline).
+
+Exercises the stdlib HTTP server implementation of the /t2v surface
+(schema per reference api_t2v.py) end-to-end over a real socket.
+"""
+
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from t2v.core.config import T2VArgs, T2VOutputArgs
+from t2v.pipeline.pipeline import ModelScopePipeline
+from t2v.pipeline.run import run
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    return ModelScopePipeline.random_init()
+
+
+class TestRunOrchestrator:
+    def test_txt2vid_end_to_end(self, tiny_pipe, tmp_path):
+        args = T2VArgs(
+            prompt="a cat", steps=3, frames=3, width=64, height=64, seed=5,
+            batch_count=2,
+        )
+        result = run(
+            args, T2VOutputArgs(fps=4), pipe=tiny_pipe, outdir=str(tmp_path)
+        )
+        assert len(result.videos) == 2
+        assert len(result.data_urls) == 2
+        assert result.data_urls[0].startswith("data:video/mp4;base64,")
+        import os
+
+        for d in result.frame_dirs:
+            assert os.path.exists(os.path.join(d, "args.txt"))
+            pngs = [f for f in os.listdir(d) if f.endswith(".png")]
+            assert len(pngs) == 3
+
+    def test_interrupt_stops_batches(self, tiny_pipe, tmp_path):
+        from t2v.core.state import JobState
+
+        st = JobState()
+        calls = []
+
+        orig = st.step_callback
+
+        def cb(step):
+            calls.append(step)
+            if len(calls) >= 1:
+                st.interrupt()
+            orig(step)
+
+        st.step_callback = cb
+        args = T2VArgs(prompt="x", steps=4, frames=2, width=64, height=64, seed=1, batch_count=3)
+        result = run(args, pipe=tiny_pipe, outdir=str(tmp_path), job_state=st, callback_interval=1)
+        assert result.interrupted
+        assert len(result.videos) == 0
+
+
+@pytest.fixture(scope="module")
+def server(tiny_pipe):
+    from t2v.api.stdlib_server import serve
+
+    srv = serve(port=0, pipe=tiny_pipe, block=False)
+    host, port = srv.server_address
+    yield f"http://{host}:{port}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=300) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url, data=b""):
+    req = urllib.request.Request(url, data=data, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestAPI:
+    def test_api_version(self, server):
+        status, body = _get(f"{server}/t2v/api_version")
+        assert status == 200 and body == {"version": "1.0"}
+
+    def test_version(self, server):
+        status, body = _get(f"{server}/t2v/version")
+        assert status == 200 and "version" in body
+
+    def test_run_minimal(self, server, tmp_path, monkeypatch):
+        import os
+
+        os.chdir(tmp_path)  # outputs land in tmp
+        status, body = _post(
+            f"{server}/t2v/run?prompt=a+cat&steps=3&frames=3&width=64&height=64&seed=3"
+        )
+        assert status == 200, body
+        assert body["mp4s"][0].startswith("data:video/mp4;base64,")
+
+    def test_run_missing_prompt_422(self, server):
+        status, body = _post(f"{server}/t2v/run?steps=3")
+        assert status == 422
+
+    def test_run_bad_args_422(self, server):
+        status, body = _post(f"{server}/t2v/run?prompt=x&cfg_scale=0")
+        assert status == 422
+        assert "CFG scale" in str(body["detail"])
+
+    def test_run_bad_sampler_422(self, server):
+        status, body = _post(f"{server}/t2v/run?prompt=x&sampler=PLMS")
+        assert status == 422
+
+    def test_progress_and_interrupt_endpoints(self, server):
+        status, body = _get(f"{server}/t2v/progress")
+        assert status == 200 and "sampling_step" in body
+        status, body = _post(f"{server}/t2v/interrupt")
+        assert status == 200 and body["interrupted"]
+        from t2v.core.state import state
+
+        state.reset()
