@@ -43,6 +43,12 @@ class Plan:
 
 def plan(schedule: DiffusionSchedule, steps: int, eta: float = 0.0) -> Plan:
     ts_asc = make_ddim_timesteps(steps, schedule.num_timesteps)
+    # the uniform subset has ceil(T/stride) entries — the reference's DDIM
+    # runs ALL of them (total_steps = timesteps.shape[0], sampler.py:135),
+    # which can exceed the requested count when steps doesn't divide T; the
+    # +1 offset can also reach T for pathological step counts — clamp.
+    ts_asc = np.minimum(ts_asc, schedule.num_timesteps - 1)
+    steps = len(ts_asc)
     sigmas, alphas, alphas_prev = make_ddim_sampling_parameters(
         schedule.alphas_cumprod, ts_asc, eta
     )

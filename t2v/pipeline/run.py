@@ -87,10 +87,16 @@ def run(
 
     if pipe is None:
         if args.model_type == "VideoCrafter":
-            raise NotImplementedError(
-                "VideoCrafter path: use t2v.pipeline.videocrafter"
+            from t2v.pipeline.videocrafter import VideoCrafterPipeline
+
+            model_dir = _resolve_model_dir(
+                args.model if args.model != "<modelscope>" else "<videocrafter>"
             )
-        pipe = load_pipeline(_resolve_model_dir(args.model))
+            pipe = VideoCrafterPipeline.from_checkpoint(
+                os.path.join(model_dir, "model.ckpt")
+            )
+        else:
+            pipe = load_pipeline(_resolve_model_dir(args.model))
 
     job_state.reset()
     result = RunResult()
@@ -129,16 +135,26 @@ def run(
             batch_args = batch_args.replace(strength=1.0)
 
         try:
-            res = pipe.infer(
-                batch_args,
-                latents=latents,
-                mask=mask,
-                skip_steps=skip_steps,
-                is_vid2vid=is_vid2vid,
-                batch_index=batch,
-                callback=job_state.step_callback,
-                callback_interval=callback_interval,
-            )
+            if isinstance(pipe, ModelScopePipeline):
+                res = pipe.infer(
+                    batch_args,
+                    latents=latents,
+                    mask=mask,
+                    skip_steps=skip_steps,
+                    is_vid2vid=is_vid2vid,
+                    batch_index=batch,
+                    callback=job_state.step_callback,
+                    callback_interval=callback_interval,
+                )
+            else:
+                # VideoCrafter: txt2vid only (reference parity,
+                # process_videocrafter.py:12-98)
+                res = pipe.infer(
+                    batch_args,
+                    batch_index=batch,
+                    callback=job_state.step_callback,
+                    callback_interval=callback_interval,
+                )
         except SkippedException:
             continue
         except InterruptedException:

@@ -1,0 +1,238 @@
+"""VideoCrafter (LVDM) inference pipeline.
+
+Covers the reference's second model family (SURVEY.md §2.8):
+  * ``from_checkpoint`` loads the single Lightning ``model.ckpt`` + the
+    OmegaConf-style ``model_config.yaml`` (process_videocrafter.py:23-31,
+    sample_utils.py:10-40) through the torch-free reader — UNet, SD VAE and
+    the CLIP-L text tower all come out of one file;
+  * text conditioning via plain CLIP-L last-hidden-state, 77 tokens,
+    no prompt weighting (condition_modules.py:15-40);
+  * sampling via the shared DDIM (the LVDM DDIM, lvdm/samplers/ddim.py, is
+    the same SD-style schedule; uc_type=None full-channel CFG) with the
+    LVDM linear schedule (linear_start 0.00085 → linear_end 0.012);
+  * the standalone CLI's DDP sampling (sample_text2video.py:123-186,
+    NCCL all_gather) maps to dp over the jax mesh — each sample is an
+    independent batch element, gathered implicitly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t2v.core import rng as rng_lib
+from t2v.core.config import CLIPTextConfig, T2VArgs, VAEConfig, sanity_check_args
+from t2v.core.dtypes import Policy
+from t2v.diffusion.sampling import sample_loop
+from t2v.diffusion.schedules import DiffusionSchedule, beta_schedule
+from t2v.models.vae import AutoencoderKL
+from t2v.models.videocrafter_unet import VideoCrafterUNet, VideoCrafterUNetConfig
+from t2v.pipeline.pipeline import InferResult, _spatial_scale
+from t2v.text.clip import CLIPTextTransformer, convert_hf_clip_text
+from t2v.text.tokenizer import CLIPTokenizer
+
+DECODE_CHUNK = 8
+
+
+@dataclass
+class VideoCrafterPipeline:
+    cfg: VideoCrafterUNetConfig
+    vae_cfg: VAEConfig
+    clip_cfg: CLIPTextConfig
+    policy: Policy
+    unet: VideoCrafterUNet
+    vae: AutoencoderKL
+    clip: Optional[CLIPTextTransformer]
+    unet_params: Any
+    vae_params: Any
+    clip_params: Any
+    tokenizer: Optional[CLIPTokenizer]
+    schedule: DiffusionSchedule
+    _decode_fn: Any = field(default=None, repr=False)
+
+    @classmethod
+    def random_init(cls, cfg: VideoCrafterUNetConfig | None = None, policy: Policy = Policy(), seed: int = 0):
+        cfg = cfg or VideoCrafterUNetConfig().tiny()
+        vae_cfg = VAEConfig().tiny() if cfg.model_channels < 128 else VAEConfig()
+        tokenizer = CLIPTokenizer.for_tests()
+        clip_cfg = dataclasses.replace(
+            CLIPTextConfig.clip_l_14(),
+            width=cfg.context_dim,
+            layers=2,
+            heads=2,
+            vocab_size=tokenizer.vocab_size,
+        )
+        unet = VideoCrafterUNet(cfg=cfg, policy=policy)
+        x = jnp.zeros((1, 2, 8, 8, cfg.in_channels))
+        unet_params = jax.jit(unet.init)(
+            jax.random.key(seed), x, jnp.zeros((1,)), jnp.zeros((1, 77, cfg.context_dim))
+        )
+        vae = AutoencoderKL(cfg=vae_cfg, policy=policy)
+        vae_params = jax.jit(vae.init)(jax.random.key(seed + 1), jnp.zeros((1, 32, 32, 3)))
+        clip = CLIPTextTransformer(cfg=clip_cfg, policy=policy)
+        clip_params = jax.jit(clip.init)(jax.random.key(seed + 2), jnp.zeros((1, 77), jnp.int32))
+        return cls(
+            cfg=cfg, vae_cfg=vae_cfg, clip_cfg=clip_cfg, policy=policy,
+            unet=unet, vae=vae, clip=clip,
+            unet_params=unet_params, vae_params=vae_params, clip_params=clip_params,
+            tokenizer=tokenizer,
+            schedule=DiffusionSchedule.from_betas(
+                beta_schedule("linear", cfg.num_timesteps, cfg.linear_start, cfg.linear_end)
+            ),
+        )
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        ckpt_path: str,
+        config_path: Optional[str] = None,
+        policy: Policy = Policy.bf16(),
+    ) -> "VideoCrafterPipeline":
+        import yaml
+
+        from t2v.io.convert import convert_vae
+        from t2v.io.convert_vc import convert_vc_unet, split_lightning_state_dict
+        from t2v.io.pickle_reader import load_torch_checkpoint
+
+        if config_path is None:
+            # fallback config discovery (process_videocrafter.py:23-29)
+            for cand in (
+                os.path.join(os.path.dirname(ckpt_path), "model_config.yaml"),
+                os.path.join(os.path.dirname(ckpt_path), "base_t2v", "model_config.yaml"),
+            ):
+                if os.path.exists(cand):
+                    config_path = cand
+                    break
+        if config_path is None:
+            raise FileNotFoundError("model_config.yaml not found near checkpoint")
+        with open(config_path) as f:
+            yaml_cfg = yaml.safe_load(f)
+        cfg = VideoCrafterUNetConfig.from_yaml_dict(yaml_cfg)
+
+        ckpt = load_torch_checkpoint(ckpt_path)
+        parts = split_lightning_state_dict(ckpt)
+        del ckpt
+
+        unet = VideoCrafterUNet(cfg=cfg, policy=policy)
+        unet_params = _cast(convert_vc_unet(parts["unet"], cfg), policy.param_dtype)
+        vae_cfg = VAEConfig()
+        vae = AutoencoderKL(cfg=vae_cfg, policy=policy)
+        vae_params = _cast(convert_vae(parts["vae"], vae_cfg), policy.param_dtype)
+        clip_cfg = CLIPTextConfig.clip_l_14()
+        clip = CLIPTextTransformer(cfg=clip_cfg, policy=policy)
+        clip_params = _cast(
+            convert_hf_clip_text(
+                {f"text_model.{k.split('text_model.')[-1]}": v for k, v in parts["clip"].items()},
+                clip_cfg,
+            ),
+            policy.param_dtype,
+        )
+        tokenizer = CLIPTokenizer.find_and_load(
+            os.path.dirname(ckpt_path), os.path.dirname(os.path.dirname(ckpt_path))
+        )
+        return cls(
+            cfg=cfg, vae_cfg=vae_cfg, clip_cfg=clip_cfg, policy=policy,
+            unet=unet, vae=vae, clip=clip,
+            unet_params=unet_params, vae_params=vae_params, clip_params=clip_params,
+            tokenizer=tokenizer,
+            schedule=DiffusionSchedule.from_betas(
+                beta_schedule("linear", cfg.num_timesteps, cfg.linear_start, cfg.linear_end)
+            ),
+        )
+
+    # ------------------------------------------------------------------
+
+    def encode_text(self, prompts: list[str]) -> jax.Array:
+        """Plain CLIP-L encoding: 77 tokens, BOS/EOS, EOS-padded, last
+        hidden state — no emphasis weighting (condition_modules.py:15-40)."""
+        assert self.tokenizer is not None and self.clip is not None
+        L = self.clip_cfg.context_length
+        rows = []
+        for p in prompts:
+            ids = self.tokenizer.encode(p)[: L - 2]
+            row = [self.tokenizer.bos_id] + ids + [self.tokenizer.eos_id]
+            row = row + [self.tokenizer.eos_id] * (L - len(row))
+            rows.append(row)
+        tokens = jnp.asarray(np.asarray(rows, np.int32))
+        return self.clip.apply(self.clip_params, tokens)
+
+    def infer(
+        self,
+        args: T2VArgs,
+        *,
+        callback: Optional[Callable[[int], None]] = None,
+        callback_interval: Optional[int] = None,
+        batch_index: int = 0,
+    ) -> InferResult:
+        sanity_check_args(args)
+        seed = rng_lib.resolve_seed(args.seed)
+        batch_seed = seed + batch_index if args.seed != -1 else seed
+        key = rng_lib.key_for_seed(batch_seed)
+
+        ss = _spatial_scale(self.vae_cfg)
+        shape = (1, args.frames, args.height // ss, args.width // ss, self.cfg.in_channels)
+
+        cond = self.encode_text([args.prompt])
+        uncond = self.encode_text([args.n_prompt])
+
+        unet, params = self.unet, self.unet_params
+
+        def apply_fn(x, t, ctx):
+            return unet.apply(params, x, t, ctx)
+
+        t0 = time.perf_counter()
+        x0 = sample_loop(
+            apply_fn,
+            self.schedule,
+            steps=args.steps,
+            shape=shape,
+            cond=cond,
+            uncond=uncond,
+            guidance_scale=args.cfg_scale,
+            eta=args.eta,
+            sampler_name="DDIM",  # LVDM samples with its DDIM (ddim.py)
+            key=key,
+            callback=callback,
+            callback_interval=callback_interval,
+        )
+        x0.block_until_ready()
+        t_sample = time.perf_counter() - t0
+
+        frames = self.decode_latents(x0[0])
+        infotext = (
+            f"{args.prompt}\nNegative prompt: {args.n_prompt}\n"
+            f"Steps: {args.steps}, Sampler: DDIM, CFG scale: {args.cfg_scale}, "
+            f"Seed: {batch_seed}, Size: {args.width}x{args.height}, "
+            f"Frames: {args.frames}, Model: VideoCrafter"
+        )
+        print(f"t2v videocrafter timings: sample={t_sample:.2f}s")
+        return InferResult(frames=list(frames), latents=x0, infotext=infotext)
+
+    def decode_latents(self, latents: jax.Array) -> np.ndarray:
+        if self._decode_fn is None:
+            vae, vp = self.vae, self.vae_params
+
+            @jax.jit
+            def fn(p, z):
+                return vae.apply(p, z, method=AutoencoderKL.decode)
+
+            self._decode_fn = lambda z: fn(vp, z)
+        z = latents / self.cfg.scale_factor
+        outs = []
+        for i in range(0, z.shape[0], DECODE_CHUNK):
+            img = self._decode_fn(z[i : i + DECODE_CHUNK])
+            outs.append(np.asarray(img.astype(jnp.float32)))
+        imgs = np.concatenate(outs, axis=0)
+        imgs = np.clip(imgs * 0.5 + 0.5, 0.0, 1.0)
+        return (imgs * 255).round().astype(np.uint8)
+
+
+def _cast(tree, dtype):
+    return jax.tree.map(lambda x: jnp.asarray(x, dtype), tree)

@@ -1,0 +1,200 @@
+"""VideoCrafter family: topology, converter round-trip, e2e inference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from t2v.core.config import T2VArgs
+from t2v.io.convert_vc import convert_vc_unet, split_lightning_state_dict, vc_module_index
+from t2v.models.videocrafter_unet import (
+    VideoCrafterUNet,
+    VideoCrafterUNetConfig,
+    build_vc_topology,
+)
+from t2v.pipeline.videocrafter import VideoCrafterPipeline
+
+CFG = VideoCrafterUNetConfig().tiny()
+
+
+def make_vc_torch_sd(cfg, rng):
+    """Synthetic torch-layout state_dict with LVDM key names
+    (openaimodel3d.py module structure)."""
+    sd = {}
+    r = lambda *s: rng.normal(size=s).astype(np.float32) * 0.05
+    kt = cfg.kernel_size_t
+
+    def linear(p, o, i, bias=True):
+        sd[f"{p}.weight"] = r(o, i)
+        if bias:
+            sd[f"{p}.bias"] = r(o)
+
+    def conv3d(p, o, i, k=3):
+        sd[f"{p}.weight"] = r(o, i, kt, k, k)
+        sd[f"{p}.bias"] = r(o)
+
+    def conv3d_k1(p, o, i):
+        sd[f"{p}.weight"] = r(o, i, 1, 1, 1)
+        sd[f"{p}.bias"] = r(o)
+
+    def norm(p, c):
+        sd[f"{p}.weight"] = 1 + r(c)
+        sd[f"{p}.bias"] = r(c)
+
+    def attn(p, dim, ctx=None):
+        inner = dim
+        linear(f"{p}.to_q", inner, dim, bias=False)
+        linear(f"{p}.to_k", inner, ctx or dim, bias=False)
+        linear(f"{p}.to_v", inner, ctx or dim, bias=False)
+        linear(f"{p}.to_out.0", dim, inner)
+
+    def tattn(p, dim):
+        attn(p, dim)
+        hd = dim // cfg.num_heads
+        sd[f"{p}.relative_position_k.embeddings_table"] = r(2 * cfg.temporal_length + 1, hd)
+        sd[f"{p}.relative_position_v.embeddings_table"] = r(2 * cfg.temporal_length + 1, hd)
+
+    def st(p, c):
+        norm(f"{p}.norm", c)
+        conv3d_k1(f"{p}.proj_in", c, c)
+        conv3d_k1(f"{p}.proj_out", c, c)
+        bp = f"{p}.transformer_blocks.0"
+        attn(f"{bp}.attn1", c)
+        attn(f"{bp}.attn2", c, cfg.context_dim)
+        tattn(f"{bp}.attn1_tmp", c)
+        tattn(f"{bp}.attn2_tmp", c)
+        for n in ("norm1", "norm2", "norm3", "norm4", "norm5"):
+            norm(f"{bp}.{n}", c)
+        linear(f"{bp}.ff.net.0.proj", c * 8, c)
+        linear(f"{bp}.ff.net.2", c, c * 4)
+
+    def res(p, ci, co):
+        norm(f"{p}.in_layers.0", ci)
+        conv3d(f"{p}.in_layers.2", co, ci)
+        linear(f"{p}.emb_layers.1", co, cfg.model_channels * 4)
+        norm(f"{p}.out_layers.0", co)
+        conv3d(f"{p}.out_layers.3", co, co)
+        if ci != co:
+            conv3d_k1(f"{p}.skip_connection", co, ci)
+
+    linear("time_embed.0", cfg.model_channels * 4, cfg.model_channels)
+    linear("time_embed.2", cfg.model_channels * 4, cfg.model_channels * 4)
+    norm("out.0", cfg.model_channels)
+    conv3d("out.2", cfg.out_channels, cfg.model_channels)
+
+    topo = build_vc_topology(cfg)
+    for entry in (*topo.encoder, topo.middle, *topo.decoder):
+        for d in entry:
+            if d.kind == "conv_in":
+                conv3d(d.torch_path, d.out_ch, d.in_ch)
+            elif d.kind == "res":
+                res(d.torch_path, d.in_ch, d.out_ch)
+            elif d.kind == "st":
+                st(d.torch_path, d.out_ch)
+            elif d.kind == "downsample":
+                conv3d(f"{d.torch_path}.op", d.out_ch, d.out_ch)
+            elif d.kind == "upsample":
+                conv3d(f"{d.torch_path}.conv", d.out_ch, d.out_ch)
+    return sd
+
+
+class TestVCTopology:
+    def test_full_config_counts(self):
+        cfg = VideoCrafterUNetConfig()
+        topo = build_vc_topology(cfg)
+        # 1 conv_in + 4 levels * 2 res + 3 downsamples = 12
+        assert len(topo.encoder) == 12
+        assert len(topo.decoder) == 12
+        # ds=8 level (entries 10, 11) has no ST; ds=4 level does
+        assert all(d.kind != "st" for d in topo.encoder[10])
+        assert all(d.kind != "st" for d in topo.encoder[11])
+        assert any(d.kind == "st" for d in topo.encoder[8])
+
+    def test_torch_indices_dense(self):
+        topo = build_vc_topology(VideoCrafterUNetConfig())
+        ids = [int(e[0].torch_path.split(".")[1]) for e in topo.encoder]
+        assert ids == list(range(12))
+
+
+class TestVCConverter:
+    def test_roundtrip_and_forward(self, rng):
+        sd = make_vc_torch_sd(CFG, rng)
+        converted = convert_vc_unet(sd, CFG)
+        m = VideoCrafterUNet(cfg=CFG)
+        x = jnp.zeros((1, 4, 16, 16, CFG.in_channels))
+        t = jnp.full((1,), 99.0)
+        ctx = jnp.asarray(rng.normal(size=(1, 7, CFG.context_dim)).astype(np.float32))
+        ref = jax.jit(m.init)(jax.random.key(0), x, t, ctx)
+        shapes = lambda tr: jax.tree.map(lambda a: tuple(a.shape), tr)
+        assert shapes(ref) == shapes(converted)
+        out = jax.jit(m.apply)(converted, x, t, ctx)
+        assert out.shape == (1, 4, 16, 16, CFG.out_channels)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_all_keys_consumed(self, rng):
+        sd = make_vc_torch_sd(CFG, rng)
+        touched = set()
+
+        class Rec(dict):
+            def __getitem__(self, k):
+                touched.add(k)
+                return dict.__getitem__(self, k)
+
+            def __contains__(self, k):
+                touched.add(k)
+                return dict.__contains__(self, k)
+
+        convert_vc_unet(Rec(sd), CFG)
+        assert not set(sd) - touched
+
+    def test_split_lightning(self):
+        ckpt = {
+            "state_dict": {
+                "model.diffusion_model.out.0.weight": np.zeros(2),
+                "first_stage_model.encoder.conv_in.weight": np.zeros(2),
+                "cond_stage_model.transformer.text_model.final_layer_norm.weight": np.zeros(2),
+                "model_ema.decay": np.zeros(1),
+            },
+            "global_step": 5,
+        }
+        parts = split_lightning_state_dict(ckpt)
+        assert "out.0.weight" in parts["unet"]
+        assert "encoder.conv_in.weight" in parts["vae"]
+        assert "text_model.final_layer_norm.weight" in parts["clip"]
+        assert "model_ema.decay" in parts["other"]
+
+    def test_lora_index_paths_exist(self, rng):
+        sd = make_vc_torch_sd(CFG, rng)
+        converted = convert_vc_unet(sd, CFG)
+        idx = vc_module_index(CFG)
+        assert idx
+        for name, (fpath, kind) in idx.items():
+            node = converted["params"]
+            for seg in fpath:
+                assert seg in node, (name, fpath)
+                node = node[seg]
+            assert "kernel" in node
+
+
+class TestVCEndToEnd:
+    def test_infer(self):
+        pipe = VideoCrafterPipeline.random_init()
+        args = T2VArgs(
+            prompt="a cat", n_prompt="bad", steps=4, frames=4,
+            width=64, height=64, seed=3, sampler="DDIM",
+        )
+        res = pipe.infer(args)
+        assert len(res.frames) == 4
+        assert res.frames[0].shape == (64, 64, 3)
+        assert "VideoCrafter" in res.infotext
+
+    def test_zero_init_temporal_attention_is_identity(self, rng):
+        """The temporal attentions are zero-init — a fresh model must behave
+        per-frame identically (image-pretrained identity on time axis)."""
+        from t2v.models.videocrafter_unet import TemporalCrossAttention
+
+        mod = TemporalCrossAttention(query_dim=16, heads=2, dim_head=8, temporal_length=4)
+        x = jnp.asarray(rng.normal(size=(3, 4, 16)).astype(np.float32))
+        params = mod.init(jax.random.key(0), x)
+        out = mod.apply(params, x)
+        assert np.allclose(np.asarray(out), 0.0)
