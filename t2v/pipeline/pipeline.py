@@ -78,6 +78,9 @@ class ModelScopePipeline:
     text_encoder: Optional[TextEncoder]
     schedule: DiffusionSchedule
     model_dir: Optional[str] = None
+    # spatial tiling for hi-res decode (latent pixels per tile; None = off)
+    decode_tile: Optional[int] = None
+    decode_tile_overlap: int = 16
     # jit caches keyed by static shapes
     _decode_fn: Any = field(default=None, repr=False)
     _encode_fn: Any = field(default=None, repr=False)
@@ -197,6 +200,16 @@ class ModelScopePipeline:
         (frame-chunked decode; chunking bounds HBM, not device hops)."""
         if self._decode_fn is None:
             self._decode_fn = self._vae_apply(AutoencoderKL.decode)
+        decode_fn = self._decode_fn
+        tile = self.decode_tile
+        if tile and (latents.shape[1] > tile or latents.shape[2] > tile):
+            from t2v.models.vae_tiled import decode_spatial_tiled
+
+            base = decode_fn
+            decode_fn = lambda zz: decode_spatial_tiled(
+                base, zz, tile=tile, overlap=self.decode_tile_overlap,
+                upscale=_spatial_scale(self.vae_cfg),
+            )
         outs = []
         z = latents / SCALE_FACTOR
         n = z.shape[0]
@@ -206,10 +219,10 @@ class ModelScopePipeline:
             if chunk.shape[0] < DECODE_CHUNK and n > DECODE_CHUNK:
                 pad = DECODE_CHUNK - chunk.shape[0]
                 chunk = jnp.pad(chunk, ((0, pad), (0, 0), (0, 0), (0, 0)))
-            img = self._decode_fn(chunk)
+            img = decode_fn(chunk)
             if pad:
                 img = img[: DECODE_CHUNK - pad]
-            outs.append(np.asarray(img.astype(jnp.float32)))
+            outs.append(np.asarray(jnp.asarray(img).astype(jnp.float32)))
         imgs = np.concatenate(outs, axis=0)
         # tensor2vid normalisation: mean/std 0.5 (t2v_pipeline.py:447-460)
         imgs = np.clip(imgs * 0.5 + 0.5, 0.0, 1.0)

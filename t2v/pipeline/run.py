@@ -80,7 +80,27 @@ def run(
     job_state: Optional[JobState] = None,
     save_frames: bool = True,
     callback_interval: Optional[int] = 5,
+    error_video_on_failure: bool = False,
 ) -> RunResult:
+    """error_video_on_failure=True reproduces the reference UI behaviour:
+    any generation exception yields the error-placeholder data-URL instead
+    of propagating (render.py:15-44, error_hardcode.py). The API layer uses
+    the exception path (api_t2v.py 500 handling)."""
+    if error_video_on_failure:
+        try:
+            return run(
+                args, out_args, pipe=pipe, outdir=outdir, job_state=job_state,
+                save_frames=save_frames, callback_interval=callback_interval,
+                error_video_on_failure=False,
+            )
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+            from t2v.media.error_video import get_error_video_data_url
+
+            return RunResult(data_urls=[get_error_video_data_url()])
+
     out_args = out_args or T2VOutputArgs()
     job_state = job_state or default_state
     sanity_check_args(args)
@@ -176,6 +196,9 @@ def run(
                 )
             with open(os.path.join(batch_dir, "args.txt"), "w") as f:
                 f.write(res.infotext)
+            from t2v.core.profiling import RunManifest
+
+            RunManifest.from_args(args, seed=resolved_seed + batch).write(batch_dir)
 
         mp4_path = os.path.join(batch_dir, "vid.mp4")
         if not out_args.skip_video_creation:

@@ -1,0 +1,138 @@
+"""Aux subsystems: tiled VAE, orbax native checkpoints, manifest, error video."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from t2v.core.config import T2VArgs, VAEConfig
+from t2v.core.profiling import PhaseTimes, RunManifest
+from t2v.models.vae import AutoencoderKL
+from t2v.models.vae_tiled import decode_spatial_tiled, encode_spatial_tiled
+
+
+class TestTiledVAE:
+    @pytest.fixture(scope="class")
+    def vae(self):
+        cfg = VAEConfig().tiny()  # 2x downscale
+        vae = AutoencoderKL(cfg=cfg)
+        params = jax.jit(vae.init)(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+
+        @jax.jit
+        def dec(z):
+            return vae.apply(params, z, method=AutoencoderKL.decode)
+
+        @jax.jit
+        def enc(x):
+            return vae.apply(params, x, method=AutoencoderKL.encode)[0]
+
+        return dec, enc
+
+    def test_blending_exact_for_pointwise_decoder(self, rng):
+        """With a spatially-local decoder the stitched result must equal the
+        full decode EXACTLY — validates tile placement + feather math."""
+
+        def dec(z):
+            z = np.asarray(z)
+            up = np.repeat(np.repeat(z, 2, axis=1), 2, axis=2)
+            return up[..., :3] * 2.0 + 0.1
+
+        z = rng.normal(size=(2, 24, 40, 4)).astype(np.float32)
+        full = dec(z)
+        tiled = decode_spatial_tiled(dec, z, tile=16, overlap=8, upscale=2)
+        np.testing.assert_allclose(tiled, full, rtol=1e-5, atol=1e-5)
+
+    def test_encode_blending_exact_for_pointwise_encoder(self, rng):
+        def enc(x):
+            x = np.asarray(x)
+            pooled = x[:, ::2, ::2, :]
+            return np.concatenate([pooled, pooled[..., :1]], axis=-1) * 0.5
+
+        x = rng.normal(size=(1, 48, 80, 3)).astype(np.float32)
+        full = enc(x)
+        tiled = encode_spatial_tiled(enc, x, tile=32, overlap=16, downscale=2)
+        np.testing.assert_allclose(tiled, full, rtol=1e-5, atol=1e-5)
+
+    def test_tiled_decode_real_vae_sane(self, vae, rng):
+        """Real (random-weight) VAE: the decoder's mid-block attention is
+        global, so tiles differ from the full decode — check shape/finiteness
+        and that seams stay bounded."""
+        dec, _ = vae
+        z = jnp.asarray(rng.normal(size=(2, 24, 40, 4)).astype(np.float32) * 0.5)
+        full = np.asarray(dec(z))
+        tiled = decode_spatial_tiled(dec, z, tile=16, overlap=8, upscale=2)
+        assert tiled.shape == full.shape
+        assert np.isfinite(tiled).all()
+
+    def test_single_tile_passthrough(self, vae, rng):
+        dec, _ = vae
+        z = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
+        full = np.asarray(dec(z))
+        tiled = decode_spatial_tiled(dec, z, tile=16, overlap=4, upscale=2)
+        np.testing.assert_allclose(np.asarray(tiled), full, rtol=1e-5)
+
+
+class TestOrbaxNative:
+    def test_roundtrip(self, tmp_path):
+        from t2v.core.config import CLIPTextConfig, ModelScopeUNetConfig
+        from t2v.io.orbax_io import is_native_checkpoint, load_native, save_native
+
+        params = {"params": {"layer": {"kernel": np.ones((4, 4), np.float32)}}}
+        out = save_native(
+            str(tmp_path / "native"),
+            unet_params=params,
+            vae_params=params,
+            clip_params=params,
+            unet_cfg=ModelScopeUNetConfig().tiny(),
+            vae_cfg=VAEConfig().tiny(),
+            clip_cfg=CLIPTextConfig().tiny(),
+        )
+        assert is_native_checkpoint(out)
+        restored = load_native(out)
+        assert restored["meta"]["model_family"] == "modelscope"
+        np.testing.assert_allclose(
+            restored["unet_params"]["params"]["layer"]["kernel"], 1.0
+        )
+
+
+class TestProfilingManifest:
+    def test_phase_times(self):
+        pt = PhaseTimes()
+        with pt.phase("sample"):
+            pass
+        with pt.phase("decode"):
+            pass
+        assert set(pt.times) == {"sample", "decode"}
+        assert "sample=" in pt.summary()
+
+    def test_manifest_roundtrip(self, tmp_path):
+        args = T2VArgs(prompt="cat", steps=5, frames=4, seed=3)
+        m = RunManifest.from_args(args, seed=3, phase_times={"sample": 1.0})
+        p = m.write(str(tmp_path))
+        with open(p) as f:
+            data = json.load(f)
+        assert data["prompt"] == "cat"
+        assert data["seed"] == 3
+        assert data["backend"]
+        assert data["phase_times"]["sample"] == 1.0
+
+
+class TestErrorVideo:
+    def test_data_url(self):
+        from t2v.media.error_video import get_error_video_data_url
+
+        url = get_error_video_data_url(64, 64)
+        assert url.startswith("data:video/mp4;base64,")
+        assert len(url) > 1000
+
+    def test_run_error_fallback(self, tmp_path):
+        from t2v.pipeline.run import run
+
+        # a pipe=None + nonexistent model dir raises inside -> error video
+        args = T2VArgs(prompt="x", steps=2, frames=2, model="no_such_model")
+        result = run(args, outdir=str(tmp_path), error_video_on_failure=True)
+        assert result.data_urls and result.data_urls[0].startswith("data:video/mp4")
+        assert not result.videos
