@@ -12,6 +12,8 @@ einsum, t2v_model.py:556-581). Policy:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -31,16 +33,38 @@ def xla_attention(q, k, v, scale: float | None = None):
     return jnp.einsum("bns,bsd->bnd", p.astype(v.dtype), v)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_diff(q, k, v, scale):
+    return flash_attention(q, k, v, scale)
+
+
+def _flash_diff_fwd(q, k, v, scale):
+    # pallas_call has no JVP rule — run the kernel forward, save the inputs
+    return flash_attention(q, k, v, scale), (q, k, v)
+
+
+def _flash_diff_bwd(scale, res, g):
+    # backward = gradient of the mathematically identical XLA attention,
+    # recomputed from the saved inputs (standard flash-attention remat).
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: xla_attention(q_, k_, v_, scale), q, k, v)
+    return vjp(g)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 def attention(q, k, v, scale: float | None = None, force: str | None = None):
     """Dispatching attention entry used by all model blocks.
 
     force: None (auto) | "flash" | "xla" — test/benchmark override.
+    Differentiable on every path (the Pallas kernel carries a custom VJP).
     """
     if force == "flash":
-        return flash_attention(q, k, v, scale)
+        return _flash_diff(q, k, v, scale)
     if force == "xla":
         return xla_attention(q, k, v, scale)
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if on_tpu and k.shape[1] >= FLASH_MIN_KV and q.shape[-1] % 8 == 0:
-        return flash_attention(q, k, v, scale)
+        return _flash_diff(q, k, v, scale)
     return xla_attention(q, k, v, scale)

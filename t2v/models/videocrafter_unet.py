@@ -516,7 +516,10 @@ class VideoCrafterUNet(nn.Module):
         return mod(x)
 
     @nn.compact
-    def __call__(self, x, t, context):
+    def __call__(self, x, t, context, features_adapter=None):
+        """features_adapter: optional tuple of per-scale feature maps
+        (B, h_i, w_i, c_i) injected after every 3rd input block — the
+        T2I-Adapter hook (openaimodel3d.py:655-663)."""
         cfg, p = self.cfg, self.policy
         topo = build_vc_topology(cfg)
         e = B.sinusoidal_embedding(t, cfg.model_channels)
@@ -530,9 +533,14 @@ class VideoCrafterUNet(nn.Module):
         ctx = context.astype(p.compute_dtype)
 
         hs = []
-        for entry in topo.encoder:
+        adapter_idx = 0
+        for eid, entry in enumerate(topo.encoder):
             for d in entry:
                 x = self._apply(d, x, emb, ctx)
+            if features_adapter is not None and (eid + 1) % 3 == 0 and adapter_idx < len(features_adapter):
+                feat = features_adapter[adapter_idx].astype(x.dtype)
+                x = x + feat[:, None]  # broadcast over the frame axis
+                adapter_idx += 1
             hs.append(x)
         for d in topo.middle:
             x = self._apply(d, x, emb, ctx)

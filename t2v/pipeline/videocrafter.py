@@ -170,6 +170,7 @@ class VideoCrafterPipeline:
         callback: Optional[Callable[[int], None]] = None,
         callback_interval: Optional[int] = None,
         batch_index: int = 0,
+        sample_type: str = "ddim",  # "ddim" | "ddpm" (sample_utils.py:56-87)
     ) -> InferResult:
         sanity_check_args(args)
         seed = rng_lib.resolve_seed(args.seed)
@@ -188,20 +189,28 @@ class VideoCrafterPipeline:
             return unet.apply(params, x, t, ctx)
 
         t0 = time.perf_counter()
-        x0 = sample_loop(
-            apply_fn,
-            self.schedule,
-            steps=args.steps,
-            shape=shape,
-            cond=cond,
-            uncond=uncond,
-            guidance_scale=args.cfg_scale,
-            eta=args.eta,
-            sampler_name="DDIM",  # LVDM samples with its DDIM (ddim.py)
-            key=key,
-            callback=callback,
-            callback_interval=callback_interval,
-        )
+        if sample_type == "ddpm":
+            from t2v.diffusion import ddpm as ddpm_mod
+            from t2v.diffusion.sampling import make_eps_fn
+
+            eps_fn = make_eps_fn(apply_fn, cond, uncond, args.cfg_scale, "full")
+            noise = rng_lib.latent_noise(key, shape)
+            x0 = ddpm_mod.sample(eps_fn, self.schedule, noise, key)
+        else:
+            x0 = sample_loop(
+                apply_fn,
+                self.schedule,
+                steps=args.steps,
+                shape=shape,
+                cond=cond,
+                uncond=uncond,
+                guidance_scale=args.cfg_scale,
+                eta=args.eta,
+                sampler_name="DDIM",  # LVDM samples with its DDIM (ddim.py)
+                key=key,
+                callback=callback,
+                callback_interval=callback_interval,
+            )
         x0.block_until_ready()
         t_sample = time.perf_counter() - t0
 

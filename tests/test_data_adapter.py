@@ -1,0 +1,156 @@
+"""WebVid loader, T2I-Adapter, DDPM full-chain sampling tests."""
+
+import csv
+import os
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from t2v.data.webvid import WebVidDataset
+from t2v.models.adapter import Adapter, AdapterConfig, convert_adapter, pixel_unshuffle
+
+
+def _make_fake_webvid(root, n_videos=3, frames=12, size=48):
+    os.makedirs(os.path.join(root, "videos", "p1"), exist_ok=True)
+    rows = []
+    for i in range(n_videos):
+        path = os.path.join(root, "videos", "p1", f"vid{i}.mp4")
+        fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+        w = cv2.VideoWriter(path, fourcc, 8, (size, size))
+        for f in range(frames):
+            img = np.full((size, size, 3), (i * 40 + f * 5) % 255, np.uint8)
+            w.write(img)
+        w.release()
+        rows.append({"videoid": f"vid{i}", "name": f"caption {i}", "page_dir": "p1"})
+    meta = os.path.join(root, "meta.csv")
+    with open(meta, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=["videoid", "name", "page_dir"])
+        writer.writeheader()
+        writer.writerows(rows)
+    return root
+
+
+class TestWebVid:
+    def test_load_and_batch(self, tmp_path):
+        root = _make_fake_webvid(str(tmp_path))
+        ds = WebVidDataset(root, video_length=4, resolution=(32, 32), seed=1)
+        assert len(ds) == 3
+        sample = ds[0]
+        assert sample is not None
+        assert sample.frames.shape == (4, 32, 32, 3)
+        assert sample.frames.min() >= -1.0 and sample.frames.max() <= 1.0
+        assert sample.caption.startswith("caption")
+
+        batches = list(ds.batches(batch_size=2, epochs=1))
+        assert batches
+        frames, caps = batches[0]
+        assert frames.shape == (2, 4, 32, 32, 3)
+        assert len(caps) == 2
+
+    def test_too_short_video_skipped(self, tmp_path):
+        root = _make_fake_webvid(str(tmp_path), frames=2)
+        ds = WebVidDataset(root, video_length=8, resolution=(32, 32))
+        assert ds[0] is None
+
+
+class TestAdapter:
+    def test_pixel_unshuffle_matches_torch(self, rng):
+        import torch
+
+        x = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
+        ours = pixel_unshuffle(jnp.asarray(x), 8)
+        theirs = (
+            torch.nn.functional.pixel_unshuffle(
+                torch.from_numpy(x).permute(0, 3, 1, 2), 8
+            )
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        np.testing.assert_allclose(np.asarray(ours), theirs)
+
+    def test_feature_pyramid_shapes(self):
+        cfg = AdapterConfig(channels=(32, 64, 64, 64), nums_rb=2, cin=64)
+        m = Adapter(cfg=cfg)
+        x = jnp.zeros((1, 64, 64, 1))
+        params = jax.jit(m.init)(jax.random.key(0), x)
+        feats = m.apply(params, x)
+        assert len(feats) == 4
+        assert feats[0].shape == (1, 8, 8, 32)
+        assert feats[1].shape == (1, 4, 4, 64)
+        assert feats[3].shape == (1, 1, 1, 64)
+
+    def test_converter_roundtrip(self, rng):
+        cfg = AdapterConfig(channels=(32, 64), nums_rb=2, cin=64)
+        # synthetic torch sd
+        sd = {}
+        r = lambda *s: rng.normal(size=s).astype(np.float32) * 0.05
+
+        def conv(p, o, i, k=3):
+            sd[f"{p}.weight"] = r(o, i, k, k)
+            sd[f"{p}.bias"] = r(o)
+
+        conv("conv_in", 32, 64)
+        # i=0: blocks 0,1 (no down); i=1: block 2 (down from 32->64), block 3
+        # NOTE: skep consumes the post-in_conv activation in the reference's
+        # forward (adapter.py:60-72), so its in-channels are out_c — the
+        # torch-side __init__ shape (in_c, out_c) only type-checks for
+        # sk=True configs; we match the runtime-consistent shape.
+        chans = [(32, 32), (32, 32), (32, 64), (64, 64)]
+        for idx, (ci, co) in enumerate(chans):
+            if idx == 2:
+                conv(f"body.{idx}.down_opt.op", ci, ci)
+            conv(f"body.{idx}.in_conv", co, ci)
+            conv(f"body.{idx}.block1", co, co)
+            conv(f"body.{idx}.block2", co, co)
+            conv(f"body.{idx}.skep", co, co)
+        converted = convert_adapter(sd, cfg)
+        m = Adapter(cfg=cfg)
+        x = jnp.zeros((1, 32, 32, 1))
+        ref = jax.jit(m.init)(jax.random.key(0), x)
+        shapes = lambda t: jax.tree.map(lambda a: tuple(a.shape), t)
+        assert shapes(ref) == shapes(converted)
+        feats = m.apply(converted, x)
+        assert all(np.isfinite(np.asarray(f)).all() for f in feats)
+
+    def test_unet_adapter_injection(self):
+        from t2v.models.videocrafter_unet import VideoCrafterUNet, VideoCrafterUNetConfig
+
+        cfg = VideoCrafterUNetConfig().tiny()
+        m = VideoCrafterUNet(cfg=cfg)
+        x = jnp.ones((1, 2, 16, 16, 4)) * 0.1
+        t = jnp.zeros((1,))
+        ctx = jnp.zeros((1, 5, cfg.context_dim))
+        params = jax.jit(m.init)(jax.random.key(0), x, t, ctx)
+        # un-zero the zero-init head so outputs reflect the torso
+        params = jax.tree_util.tree_map_with_path(
+            lambda p, a: jnp.ones_like(a) * 0.01
+            if any(getattr(s, "key", "") == "head_conv" for s in p)
+            else a,
+            params,
+        )
+        base = m.apply(params, x, t, ctx)
+        # tiny topology: injection lands after encoder entry 2 (the
+        # downsample, ch=model_channels, spatial 8x8)
+        feats = (jnp.ones((1, 8, 8, cfg.model_channels)),)
+        out = m.apply(params, x, t, ctx, features_adapter=feats)
+        assert not np.allclose(np.asarray(base), np.asarray(out))
+
+
+class TestDDPMSampling:
+    def test_full_chain_runs(self):
+        from t2v.diffusion import ddpm as ddpm_mod
+        from t2v.diffusion.schedules import DiffusionSchedule
+        from t2v.core import rng as rng_lib
+
+        sched = DiffusionSchedule.linear_sd(50)  # short chain for speed
+        eps_fn = lambda x, t, i: 0.1 * x
+        key = rng_lib.key_for_seed(0)
+        noise = rng_lib.latent_noise(key, (1, 2, 4, 4, 4))
+        out = ddpm_mod.sample(eps_fn, sched, noise, key)
+        assert out.shape == noise.shape
+        assert np.isfinite(np.asarray(out)).all()
+        out2 = ddpm_mod.sample(eps_fn, sched, noise, key)
+        assert np.allclose(np.asarray(out), np.asarray(out2))
