@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     # lora
     p.add_argument("--lora", action="append", default=[], help=".safetensors stable-lora file (repeatable)")
     p.add_argument("--lora-alpha", type=float, default=1.0)
+
+    p.add_argument("--adapter-ckpt", help="T2I-Adapter checkpoint (VideoCrafter depth conditioning)")
+    p.add_argument("--adapter-video", help="depth-map video for the adapter (external MiDaS output)")
     # output
     p.add_argument("--outdir")
     p.add_argument("--fps", type=int, default=15)
@@ -137,7 +140,10 @@ def main(argv=None) -> int:
 
         jax.profiler.start_trace(ns.profile)
 
-    result = run(args, out_args, pipe=pipe, outdir=ns.outdir)
+    result = run(
+        args, out_args, pipe=pipe, outdir=ns.outdir,
+        adapter_ckpt=ns.adapter_ckpt, adapter_video=ns.adapter_video,
+    )
 
     if ns.profile:
         import jax

@@ -16,6 +16,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -39,6 +40,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sp", type=int, default=1, help="sequence-parallel shards")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel shards")
     p.add_argument("--tiny", action="store_true", help="tiny random model (smoke test)")
+    p.add_argument(
+        "--lora-rank", type=int, default=0,
+        help="train a rank-r LoRA over attention/ff linears instead of full params; "
+        "saves reference-compatible stable-lora .safetensors",
+    )
+    p.add_argument("--lora-alpha", type=float, default=1.0)
+    p.add_argument(
+        "--ema-decay", type=float, default=0.0,
+        help="EMA shadow decay (e.g. 0.9999); 0 disables (full fine-tune only)",
+    )
     return p
 
 
@@ -67,8 +78,28 @@ def main(argv=None) -> int:
 
     mesh = make_mesh(MeshConfig(dp=-1, sp=ns.sp, tp=ns.tp))
     opt = make_optimizer(ns.lr, ns.weight_decay)
-    state = init_train_state(pipe.unet_params, opt, mesh)
-    step_fn = make_train_step(pipe.unet.apply, opt, pipe.schedule, mesh)
+    lora_index = None
+    if ns.lora_rank > 0:
+        from t2v.parallel.train import make_lora_train_step
+        from t2v.pipeline.lora import init_lora, unet_module_index
+
+        lora_index = unet_module_index(pipe.unet_cfg)
+        lora0 = init_lora(
+            pipe.unet_params, lora_index, ns.lora_rank, jax.random.key(ns.seed)
+        )
+        state = init_train_state(lora0, opt, mesh)
+        step_fn = make_lora_train_step(
+            pipe.unet.apply, opt, pipe.schedule, mesh,
+            pipe.unet_params, lora_index, alpha=ns.lora_alpha,
+        )
+    else:
+        state = init_train_state(
+            pipe.unet_params, opt, mesh, with_ema=ns.ema_decay > 0
+        )
+        step_fn = make_train_step(
+            pipe.unet.apply, opt, pipe.schedule, mesh,
+            ema_decay=ns.ema_decay or None,
+        )
 
     ds = WebVidDataset(
         ns.data_dir,
@@ -102,16 +133,29 @@ def main(argv=None) -> int:
             print(f"step {step} loss {loss_v:.4f} ({ns.log_every / dt:.2f} it/s)")
             t0 = time.time()
         if step % ns.save_every == 0 or step >= ns.steps:
-            out = f"{ns.out}/step_{step}"
-            save_native(
-                out,
-                unet_params=jax.device_get(state.params),
-                vae_params=jax.device_get(pipe.vae_params),
-                clip_params=jax.device_get(pipe.text_encoder.params),
-                unet_cfg=pipe.unet_cfg,
-                vae_cfg=pipe.vae_cfg,
-                clip_cfg=pipe.clip_cfg,
-            )
+            if ns.lora_rank > 0:
+                from t2v.pipeline.lora import save_stable_lora
+
+                os.makedirs(ns.out, exist_ok=True)
+                out = f"{ns.out}/lora_step_{step}.safetensors"
+                save_stable_lora(
+                    out,
+                    jax.device_get(state.params),
+                    metadata={"rank": ns.lora_rank, "alpha": ns.lora_alpha, "step": step},
+                )
+            else:
+                out = f"{ns.out}/step_{step}"
+                save_native(
+                    out,
+                    unet_params=jax.device_get(
+                        state.ema_params if state.ema_params is not None else state.params
+                    ),
+                    vae_params=jax.device_get(pipe.vae_params),
+                    clip_params=jax.device_get(pipe.text_encoder.params),
+                    unet_cfg=pipe.unet_cfg,
+                    vae_cfg=pipe.vae_cfg,
+                    clip_cfg=pipe.clip_cfg,
+                )
             print(f"saved {out}")
         if step >= ns.steps:
             break

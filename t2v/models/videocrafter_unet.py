@@ -50,6 +50,8 @@ class VideoCrafterUNetConfig:
     padding_t: int = 0
     temporal_length: int = 16
     use_relative_position: bool = True
+    num_classes: Optional[int] = None  # class-conditional label_emb (adm)
+    conditioning_key: str = "crossattn"  # DiffusionWrapper mode (ddpm3d.py:1362)
     num_timesteps: int = 1000
     linear_start: float = 0.00085
     linear_end: float = 0.012
@@ -75,6 +77,8 @@ class VideoCrafterUNetConfig:
             padding_t=u.get("padding_t", 0),
             temporal_length=u.get("temporal_length", 16),
             use_relative_position=u.get("use_relative_position", True),
+            num_classes=u.get("num_classes"),
+            conditioning_key=m.get("conditioning_key", "crossattn"),
             num_timesteps=m.get("timesteps", 1000),
             linear_start=m.get("linear_start", 0.00085),
             linear_end=m.get("linear_end", 0.012),
@@ -516,18 +520,40 @@ class VideoCrafterUNet(nn.Module):
         return mod(x)
 
     @nn.compact
-    def __call__(self, x, t, context, features_adapter=None):
+    def __call__(
+        self, x, t, context, features_adapter=None, y=None, time_emb_replace=None
+    ):
         """features_adapter: optional tuple of per-scale feature maps
         (B, h_i, w_i, c_i) injected after every 3rd input block — the
-        T2I-Adapter hook (openaimodel3d.py:655-663)."""
+        T2I-Adapter hook (openaimodel3d.py:655-663).
+        y: class labels (B,) int or embedding (B, E) for adm conditioning
+        (label_emb, openaimodel3d.py:650-652).
+        time_emb_replace: precomputed (B, 4*model_channels) embedding that
+        replaces the timestep embedding (openaimodel3d.py:643-647)."""
         cfg, p = self.cfg, self.policy
         topo = build_vc_topology(cfg)
-        e = B.sinusoidal_embedding(t, cfg.model_channels)
         dense = lambda feats, name: nn.Dense(
             feats, name=name, dtype=p.compute_dtype, param_dtype=p.param_dtype
         )
-        emb = dense(cfg.model_channels * 4, "time_embed_0")(e.astype(p.compute_dtype))
-        emb = dense(cfg.model_channels * 4, "time_embed_2")(jax.nn.silu(emb))
+        if time_emb_replace is None:
+            e = B.sinusoidal_embedding(t, cfg.model_channels)
+            emb = dense(cfg.model_channels * 4, "time_embed_0")(e.astype(p.compute_dtype))
+            emb = dense(cfg.model_channels * 4, "time_embed_2")(jax.nn.silu(emb))
+        else:
+            emb = time_emb_replace.astype(p.compute_dtype)
+        if y is not None:
+            if cfg.num_classes is not None and jnp.issubdtype(y.dtype, jnp.integer):
+                lab = nn.Embed(
+                    cfg.num_classes, cfg.model_channels * 4, name="label_emb",
+                    param_dtype=p.param_dtype,
+                )(y)
+            else:
+                # embedding-valued y (crossattn-adm / hybrid-adm): project if
+                # width differs, else add directly
+                lab = y
+                if y.shape[-1] != cfg.model_channels * 4:
+                    lab = dense(cfg.model_channels * 4, "label_proj")(y.astype(p.compute_dtype))
+            emb = emb + lab.astype(emb.dtype)
 
         x = x.astype(p.compute_dtype)
         ctx = context.astype(p.compute_dtype)
@@ -539,7 +565,9 @@ class VideoCrafterUNet(nn.Module):
                 x = self._apply(d, x, emb, ctx)
             if features_adapter is not None and (eid + 1) % 3 == 0 and adapter_idx < len(features_adapter):
                 feat = features_adapter[adapter_idx].astype(x.dtype)
-                x = x + feat[:, None]  # broadcast over the frame axis
+                if feat.ndim == 4:  # (B, h, w, c): broadcast over frames
+                    feat = feat[:, None]
+                x = x + feat  # per-frame (B, T, h, w, c), ddpm3d.py:1470-1484
                 adapter_idx += 1
             hs.append(x)
         for d in topo.middle:

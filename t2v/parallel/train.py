@@ -29,6 +29,7 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jax.Array
+    ema_params: Any = None
 
 
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2) -> optax.GradientTransformation:
@@ -60,16 +61,24 @@ def schedule_tables(schedule: DiffusionSchedule) -> dict:
     }
 
 
+def _ema_update(ema, params, decay):
+    return jax.tree.map(lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay), ema, params)
+
+
 def make_train_step(
     apply_fn: Callable,
     optimizer: optax.GradientTransformation,
     schedule: DiffusionSchedule,
     mesh: Mesh,
+    *,
+    ema_decay: float | None = None,
 ) -> Callable:
     """Returns jitted train_step(state, batch, key) -> (state, loss).
 
     batch = {"latents": (B, F, H, W, C), "context": (B, L, D)} sharded
     (dp, sp) on entry; grads are reduced by XLA across dp automatically.
+    ema_decay enables an EMA shadow of the params (the reference's LitEma
+    scope, ddpm3d.py:179-192) carried in state.ema_params.
     """
     tables = schedule_tables(schedule)
 
@@ -79,7 +88,10 @@ def make_train_step(
         )(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss
+        ema = state.ema_params
+        if ema_decay is not None and ema is not None:
+            ema = _ema_update(ema, params, ema_decay)
+        return TrainState(params, opt_state, state.step + 1, ema), loss
 
     def sharded_step(state, batch, key):
         batch = {
@@ -96,13 +108,70 @@ def make_train_step(
 
 
 def init_train_state(
-    params: Any, optimizer: optax.GradientTransformation, mesh: Mesh
+    params: Any,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    *,
+    with_ema: bool = False,
 ) -> TrainState:
     params = jax.device_put(params, param_sharding_rules(params, mesh))
     opt_state = optimizer.init(params)
-    return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+    # copy=True: astype alone aliases fp32 buffers, which breaks donation
+    # (state.params and state.ema_params would share storage)
+    ema = (
+        jax.tree.map(lambda p: jnp.array(p, dtype=jnp.float32, copy=True), params)
+        if with_ema
+        else None
+    )
+    return TrainState(
+        params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32), ema_params=ema
+    )
+
+
+def make_lora_train_step(
+    apply_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    schedule: DiffusionSchedule,
+    mesh: Mesh,
+    base_params: Any,
+    module_index,
+    *,
+    alpha: float = 1.0,
+) -> Callable:
+    """LoRA fine-tuning step: state.params is the low-rank adapter tree
+    (t2v/pipeline/lora.py ``init_lora``); the frozen base params are merged
+    functionally inside the loss, so only A/B receive gradients — the
+    TPU-native counterpart of the reference's LoRA-only param group
+    (ddpm3d.py:1246-1345) and injected-module training (lvdm lora.py)."""
+    from t2v.pipeline.lora import apply_lora
+
+    tables = schedule_tables(schedule)
+    base_params = jax.device_put(base_params, param_sharding_rules(base_params, mesh))
+
+    def step(state: TrainState, batch, key):
+        def loss_fn(lora):
+            merged = apply_lora(base_params, lora, module_index, alpha)
+            return diffusion_loss(apply_fn, merged, tables, batch, key)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        lora = optax.apply_updates(state.params, updates)
+        return TrainState(lora, opt_state, state.step + 1, state.ema_params), loss
+
+    def sharded_step(state, batch, key):
+        batch = {
+            "latents": jax.lax.with_sharding_constraint(
+                batch["latents"], NamedSharding(mesh, activation_spec(mesh))
+            ),
+            "context": jax.lax.with_sharding_constraint(
+                batch["context"], NamedSharding(mesh, P("dp", None, None))
+            ),
+        }
+        return step(state, batch, key)
+
+    return jax.jit(sharded_step, donate_argnums=(0,))
 
 
 jax.tree_util.register_dataclass(
-    TrainState, data_fields=["params", "opt_state", "step"], meta_fields=[]
+    TrainState, data_fields=["params", "opt_state", "step", "ema_params"], meta_fields=[]
 )

@@ -171,3 +171,134 @@ def unet_module_index(cfg: ModelScopeUNetConfig):
 
 def text_module_index(cfg: CLIPTextConfig):
     return clip_module_index(cfg)
+
+
+# ---------------------------------------------------------------------------
+# Discovery (lora_processor.py:18-34): scan a directory tree for .safetensors
+# files tagged with the stable-lora metadata key.
+
+METADATA_TAG = "stable_lora_text_to_video"
+
+
+def discover_loras(lora_dir: str) -> list[dict]:
+    """Recursive scan for stable-lora files. Returns one metadata dict per
+    file, augmented with 'path' and 'lora_name' (matching the reference's
+    ``get_lora_files``)."""
+    import glob
+    import os
+
+    from safetensors import safe_open
+
+    found = []
+    for path in sorted(
+        glob.glob(os.path.join(lora_dir, "**", "*.safetensors"), recursive=True)
+    ):
+        try:
+            with safe_open(path, "numpy") as f:
+                metadata = f.metadata()
+        except Exception:
+            continue
+        if metadata is not None and METADATA_TAG in metadata:
+            metadata = dict(metadata)
+            metadata["path"] = path
+            metadata["lora_name"] = os.path.splitext(os.path.basename(path))[0]
+            found.append(metadata)
+    return found
+
+
+# ---------------------------------------------------------------------------
+# LoRA training: low-rank adapters as a separate trainable pytree, merged
+# into the frozen base functionally inside the jitted loss. The torch-side
+# equivalent is lvdm lora.py's inject/extract machinery; here injection is
+# a pure function, so "inject" and "extract" are trivial.
+
+
+def init_lora(
+    params: dict,
+    module_index: Mapping[str, tuple[tuple[str, ...], str]],
+    rank: int,
+    key,
+    *,
+    include=None,
+) -> dict:
+    """Create a LoRA tree {torch_module_name: {"lora_A": (in, r),
+    "lora_B": (r, out)}} over every *linear* kernel in the index.
+
+    Init matches cloneofsimo (lvdm lora.py:30-70): down/A ~ N(0, 1/r),
+    up/B = 0 — the merged delta starts at zero.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    include = include or (lambda name, kind: kind == "linear")
+    lora: dict = {}
+    for name, (fpath, kind) in module_index.items():
+        if not include(name, kind):
+            continue
+        node = params["params"]
+        ok = True
+        for seg in fpath:
+            if seg not in node:
+                ok = False
+                break
+            node = node[seg]
+        if not ok or "kernel" not in node:
+            continue
+        kern = node["kernel"]
+        if kern.ndim != 2:
+            continue
+        d_in, d_out = kern.shape
+        key, sub = jax.random.split(key)
+        lora[name] = {
+            "lora_A": jax.random.normal(sub, (d_in, rank), jnp.float32) / rank,
+            "lora_B": jnp.zeros((rank, d_out), jnp.float32),
+        }
+    return lora
+
+
+def apply_lora(
+    params: dict,
+    lora: Mapping[str, dict],
+    module_index: Mapping[str, tuple[tuple[str, ...], str]],
+    alpha: float = 1.0,
+):
+    """Functionally merge a (trainable) LoRA tree into flax params:
+    kernel += (A @ B) * alpha. jit/grad-compatible — gradients flow to A/B."""
+    import jax
+
+    new = jax.tree.map(lambda x: x, params)
+    for name, ab in lora.items():
+        fpath, _ = module_index[name]
+        node = new["params"]
+        for seg in fpath[:-1]:
+            node = node[seg]
+        leaf = node[fpath[-1]]
+        kern = leaf["kernel"]
+        delta = (ab["lora_A"] @ ab["lora_B"]) * alpha
+        node[fpath[-1]] = dict(leaf, kernel=kern + delta.astype(kern.dtype))
+    return new
+
+
+def lora_to_stable_sd(lora: Mapping[str, dict]) -> dict[str, np.ndarray]:
+    """Flax LoRA tree → stable-lora torch-layout state dict:
+    A (in,r) → lora_A (r,in); B (r,out) → lora_B (out,r), so the file is
+    loadable by both the reference and ``merge_stable_lora``."""
+    sd = {}
+    for name, ab in lora.items():
+        sd[f"{name}.lora_A"] = np.asarray(ab["lora_A"], np.float32).T.copy()
+        sd[f"{name}.lora_B"] = np.asarray(ab["lora_B"], np.float32).T.copy()
+    return sd
+
+
+def save_stable_lora(
+    path: str, lora: Mapping[str, dict], metadata: Mapping[str, str] | None = None
+) -> str:
+    """Write a reference-compatible stable-lora .safetensors
+    (metadata tag per lora_processor.py:26)."""
+    from safetensors.numpy import save_file
+
+    meta = {METADATA_TAG: "true"}
+    if metadata:
+        meta.update({k: str(v) for k, v in metadata.items()})
+    save_file(lora_to_stable_sd(lora), path, metadata=meta)
+    return path

@@ -81,6 +81,8 @@ def run(
     save_frames: bool = True,
     callback_interval: Optional[int] = 5,
     error_video_on_failure: bool = False,
+    adapter_ckpt: Optional[str] = None,
+    adapter_video: Optional[str] = None,
 ) -> RunResult:
     """error_video_on_failure=True reproduces the reference UI behaviour:
     any generation exception yields the error-placeholder data-URL instead
@@ -92,6 +94,7 @@ def run(
                 args, out_args, pipe=pipe, outdir=outdir, job_state=job_state,
                 save_frames=save_frames, callback_interval=callback_interval,
                 error_video_on_failure=False,
+                adapter_ckpt=adapter_ckpt, adapter_video=adapter_video,
             )
         except Exception:
             import traceback
@@ -133,6 +136,30 @@ def run(
         latents, skip_steps = _prepare_vid2vid(pipe, args)
         is_vid2vid = True
 
+    # depth-adapter conditioning (VideoCrafter; the reference's separate
+    # sample_text2video_adapter.py CLI). Depth maps are supplied as a video
+    # (grayscale or RGB — first channel used); MiDaS estimation is external.
+    features_adapter = None
+    if adapter_ckpt and not isinstance(pipe, ModelScopePipeline):
+        adapter, adapter_params = pipe.load_adapter(adapter_ckpt)
+        if not adapter_video:
+            raise ValueError("adapter_ckpt requires adapter_video (depth maps)")
+        import cv2
+
+        dframes = vid2frames(adapter_video, start_frame=0, end_frame=args.frames)
+        if len(dframes) < args.frames:
+            raise ValueError(
+                f"depth video supplied {len(dframes)} frames, need {args.frames}"
+            )
+        d = np.stack(
+            [cv2.resize(f, (args.width, args.height)) for f in dframes]
+        ).astype(np.float32)[..., :1]
+        # per-frame min/max → [-1, 1] (get_batch_depth, ddpm3d.py:1462-1464)
+        dmin = d.min(axis=(1, 2, 3), keepdims=True)
+        dmax = d.max(axis=(1, 2, 3), keepdims=True)
+        d = 2.0 * (d - dmin) / (dmax - dmin + 1e-7) - 1.0
+        features_adapter = pipe.adapter_features(adapter, adapter_params, d[None])
+
     from t2v.core import rng as rng_lib
 
     resolved_seed = rng_lib.resolve_seed(args.seed)
@@ -167,13 +194,14 @@ def run(
                     callback_interval=callback_interval,
                 )
             else:
-                # VideoCrafter: txt2vid only (reference parity,
-                # process_videocrafter.py:12-98)
+                # VideoCrafter: txt2vid (+ optional depth adapter)
+                # (process_videocrafter.py:12-98, sample_text2video_adapter.py)
                 res = pipe.infer(
                     batch_args,
                     batch_index=batch,
                     callback=job_state.step_callback,
                     callback_interval=callback_interval,
+                    features_adapter=features_adapter,
                 )
         except SkippedException:
             continue

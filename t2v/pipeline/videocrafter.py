@@ -163,6 +163,76 @@ class VideoCrafterPipeline:
         tokens = jnp.asarray(np.asarray(rows, np.int32))
         return self.clip.apply(self.clip_params, tokens)
 
+    def load_adapter(self, adapter_path: str, adapter_cfg=None):
+        """Load a T2I-Adapter torch checkpoint
+        (sample_text2video_adapter.py:20-41; 'adapter.' key prefix from the
+        Lightning wrapper is stripped). Returns (Adapter, params)."""
+        from t2v.models.adapter import Adapter, AdapterConfig, convert_adapter
+
+        if adapter_path.endswith(".safetensors"):
+            from t2v.io.safetensors_io import load_safetensors
+
+            sd = load_safetensors(adapter_path)
+        else:
+            from t2v.io.pickle_reader import load_torch_checkpoint
+
+            sd = load_torch_checkpoint(adapter_path)
+        if "state_dict" in sd:
+            sd = sd["state_dict"]
+        sd = {
+            (k[len("adapter."):] if k.startswith("adapter.") else k): v
+            for k, v in sd.items()
+        }
+        cfg = adapter_cfg or AdapterConfig()
+        params = convert_adapter(sd, cfg)
+        return Adapter(cfg=cfg, policy=self.policy), params
+
+    def adapter_features(self, adapter, adapter_params, depth_video: "np.ndarray"):
+        """Per-frame adapter feature pyramid (ddpm3d.py:1470-1484 'process
+        in 2D manner'). depth_video: (B, T, H, W, C) in [-1, 1] — depth maps
+        normalised per frame like get_batch_depth (ddpm3d.py:1449-1466);
+        depth *estimation* (MiDaS) is external to this framework.
+
+        Frames fold into the batch axis for one vectorised adapter pass —
+        the TPU replacement for the reference's encode_bs=1 chunk loop."""
+        b, t = depth_video.shape[:2]
+        merged = jnp.asarray(depth_video).reshape((b * t,) + depth_video.shape[2:])
+        feats = adapter.apply(adapter_params, merged)
+        return tuple(
+            f.reshape((b, t) + f.shape[1:]) for f in feats
+        )
+
+    def make_apply_fn(self, features_adapter=None):
+        """(x, t, ctx) -> eps, routing ctx through the model's
+        conditioning_key (DiffusionWrapper semantics, ddpm3d.py:1362-1433)
+        with optional T2I-Adapter feature injection."""
+        from t2v.models.conditioning import normalize_cond, route_conditioning
+
+        unet, params, ck = self.unet, self.unet_params, self.cfg.conditioning_key
+
+        def apply_fn(x, t, ctx):
+            cond = normalize_cond(ck, ctx)
+            x2, kw = route_conditioning(ck, x, cond)
+            return unet.apply(
+                params, x2, t, kw["context"],
+                features_adapter=features_adapter, y=kw["y"],
+            )
+
+        return apply_fn
+
+    def apply_model(self, x, t, cond, features_adapter=None):
+        """Reference ``LatentDiffusion.apply_model`` equivalent
+        (ddpm3d.py:849-865): cond may be a bare context array, a list, or a
+        conditioning dict with c_concat/c_crossattn/c_adm/s keys."""
+        from t2v.models.conditioning import normalize_cond, route_conditioning
+
+        ck = self.cfg.conditioning_key
+        x2, kw = route_conditioning(ck, x, normalize_cond(ck, cond))
+        return self.unet.apply(
+            self.unet_params, x2, t, kw["context"],
+            features_adapter=features_adapter, y=kw["y"],
+        )
+
     def infer(
         self,
         args: T2VArgs,
@@ -171,6 +241,7 @@ class VideoCrafterPipeline:
         callback_interval: Optional[int] = None,
         batch_index: int = 0,
         sample_type: str = "ddim",  # "ddim" | "ddpm" (sample_utils.py:56-87)
+        features_adapter=None,  # T2I-Adapter feature pyramid (depth cond)
     ) -> InferResult:
         sanity_check_args(args)
         seed = rng_lib.resolve_seed(args.seed)
@@ -183,10 +254,7 @@ class VideoCrafterPipeline:
         cond = self.encode_text([args.prompt])
         uncond = self.encode_text([args.n_prompt])
 
-        unet, params = self.unet, self.unet_params
-
-        def apply_fn(x, t, ctx):
-            return unet.apply(params, x, t, ctx)
+        apply_fn = self.make_apply_fn(features_adapter=features_adapter)
 
         t0 = time.perf_counter()
         if sample_type == "ddpm":
