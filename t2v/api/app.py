@@ -52,6 +52,14 @@ def create_app(pipe=None, models_root: Optional[str] = None):
             content=jsonable_encoder({"detail": exc.errors(), "body": exc.body}),
         )
 
+    @app.get("/")
+    async def index():
+        from fastapi.responses import HTMLResponse
+
+        from t2v.api.webui import INDEX_HTML
+
+        return HTMLResponse(content=INDEX_HTML)
+
     @app.get("/t2v/api_version")
     async def t2v_api_version():
         return JSONResponse(content={"version": API_VERSION})

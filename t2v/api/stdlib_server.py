@@ -64,6 +64,16 @@ class T2VRequestHandler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         path = urlparse(self.path).path
+        if path == "/":
+            from t2v.api.webui import INDEX_HTML
+
+            body = INDEX_HTML.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         if path == "/t2v/api_version":
             return self._json({"version": API_VERSION})
         if path == "/t2v/version":

@@ -143,6 +143,7 @@ def main(argv=None) -> int:
     result = run(
         args, out_args, pipe=pipe, outdir=ns.outdir,
         adapter_ckpt=ns.adapter_ckpt, adapter_video=ns.adapter_video,
+        dp_shards=ns.dp_shards,
     )
 
     if ns.profile:

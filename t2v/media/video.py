@@ -192,3 +192,44 @@ def video_to_data_url(path: str) -> str:
     with open(path, "rb") as f:
         data = base64.b64encode(f.read()).decode()
     return f"data:video/mp4;base64,{data}"
+
+
+def make_video_grid(videos: list[np.ndarray], nrow: int | None = None, pad: int = 2) -> list[np.ndarray]:
+    """Tile n same-shaped videos (each (F, H, W, 3) uint8) into one grid
+    video — the reference's torchvision ``make_grid``-per-frame step inside
+    ``npz_to_video_grid`` (lvdm saving_utils.py:36-71). Returns grid frames."""
+    n = len(videos)
+    if n == 0:
+        raise ValueError("no videos to grid")
+    f, h, w, c = videos[0].shape
+    for v in videos:
+        if v.shape != (f, h, w, c):
+            raise ValueError("grid requires same-shaped videos")
+    ncol = nrow or int(np.ceil(np.sqrt(n)))
+    nrows = int(np.ceil(n / ncol))
+    frames = []
+    for t in range(f):
+        canvas = np.zeros(
+            (nrows * (h + pad) + pad, ncol * (w + pad) + pad, c), np.uint8
+        )
+        for i, v in enumerate(videos):
+            r, col = divmod(i, ncol)
+            y = pad + r * (h + pad)
+            x = pad + col * (w + pad)
+            canvas[y : y + h, x : x + w] = v[t]
+        frames.append(canvas)
+    return frames
+
+
+def save_video_grid(
+    videos: list[np.ndarray],
+    out_path: str,
+    fps: float = 8,
+    nrow: int | None = None,
+    **kw,
+) -> str:
+    """n videos → one grid mp4 (``npz_to_video_grid`` role, used by the
+    VideoCrafter batch output path, process_videocrafter.py:84-93)."""
+    return ffmpeg_stitch_video(
+        frames=make_video_grid(videos, nrow=nrow), out_path=out_path, fps=fps, **kw
+    )

@@ -258,6 +258,14 @@ class ModelScopePipeline:
 
     # ------------------------------------------------------------------
 
+    def make_apply_fn(self):
+        unet, params = self.unet, self.unet_params
+
+        def apply_fn(x, t, ctx):
+            return unet.apply(params, x, t, ctx)
+
+        return apply_fn
+
     def infer(
         self,
         args: T2VArgs,

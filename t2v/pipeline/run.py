@@ -83,6 +83,7 @@ def run(
     error_video_on_failure: bool = False,
     adapter_ckpt: Optional[str] = None,
     adapter_video: Optional[str] = None,
+    dp_shards: int = 1,
 ) -> RunResult:
     """error_video_on_failure=True reproduces the reference UI behaviour:
     any generation exception yields the error-placeholder data-URL instead
@@ -95,6 +96,7 @@ def run(
                 save_frames=save_frames, callback_interval=callback_interval,
                 error_video_on_failure=False,
                 adapter_ckpt=adapter_ckpt, adapter_video=adapter_video,
+                dp_shards=dp_shards,
             )
         except Exception:
             import traceback
@@ -164,6 +166,21 @@ def run(
 
     resolved_seed = rng_lib.resolve_seed(args.seed)
 
+    # Data-parallel batch sampling (reference DDP path, §5.8): all
+    # batch_count samples in one mesh-sharded computation. txt2vid only —
+    # vid2vid/inpainting keep the serial per-batch loop.
+    if (
+        dp_shards > 1
+        and args.batch_count > 1
+        and not is_vid2vid
+        and not (args.inpainting_frames > 0 and args.inpainting_image)
+        and args.eta == 0.0  # per-sample-seed parity holds without eta noise
+    ):
+        return _run_dp(
+            pipe, args, out_args, outdir, resolved_seed, timestring,
+            save_frames, dp_shards, features_adapter,
+        )
+
     for batch in range(args.batch_count):
         if job_state.interrupted:
             result.interrupted = True
@@ -209,44 +226,124 @@ def run(
             result.interrupted = True
             break
 
-        batch_dir = os.path.join(
-            outdir, timestring if batch == 0 else f"{timestring}_{batch}"
+        _emit_batch(
+            result, res.frames, res.infotext, args, out_args, outdir,
+            timestring, batch, resolved_seed + batch, save_frames,
         )
-        os.makedirs(batch_dir, exist_ok=True)
-
-        if save_frames:
-            import cv2
-
-            for i, frame in enumerate(res.frames):
-                cv2.imwrite(
-                    os.path.join(batch_dir, f"{i:09d}.png"),
-                    cv2.cvtColor(frame, cv2.COLOR_RGB2BGR),
-                )
-            with open(os.path.join(batch_dir, "args.txt"), "w") as f:
-                f.write(res.infotext)
-            from t2v.core.profiling import RunManifest
-
-            RunManifest.from_args(args, seed=resolved_seed + batch).write(batch_dir)
-
-        mp4_path = os.path.join(batch_dir, "vid.mp4")
-        if not out_args.skip_video_creation:
-            ffmpeg_stitch_video(
-                frames=res.frames,
-                out_path=mp4_path,
-                fps=out_args.fps,
-                crf=out_args.ffmpeg_crf,
-                preset=out_args.ffmpeg_preset,
-                metadata_comment=res.infotext,
-                add_soundtrack=out_args.add_soundtrack,
-                audio_path=out_args.soundtrack_path or None,
-                ffmpeg_location=out_args.ffmpeg_location,
-            )
-            result.videos.append(mp4_path)
-            result.data_urls.append(video_to_data_url(mp4_path))
-        result.frame_dirs.append(batch_dir)
-        result.infotexts.append(res.infotext)
 
     return result
+
+
+def _emit_batch(
+    result: RunResult, frames, infotext, args, out_args, outdir, timestring,
+    batch: int, seed: int, save_frames: bool,
+) -> None:
+    """PNG dump + args.txt + manifest + mp4 stitch + data-URL for one batch
+    (process_modelscope.py:229-266)."""
+    batch_dir = os.path.join(
+        outdir, timestring if batch == 0 else f"{timestring}_{batch}"
+    )
+    os.makedirs(batch_dir, exist_ok=True)
+
+    if save_frames:
+        import cv2
+
+        for i, frame in enumerate(frames):
+            cv2.imwrite(
+                os.path.join(batch_dir, f"{i:09d}.png"),
+                cv2.cvtColor(frame, cv2.COLOR_RGB2BGR),
+            )
+        with open(os.path.join(batch_dir, "args.txt"), "w") as f:
+            f.write(infotext)
+        from t2v.core.profiling import RunManifest
+
+        RunManifest.from_args(args, seed=seed).write(batch_dir)
+
+    mp4_path = os.path.join(batch_dir, "vid.mp4")
+    if not out_args.skip_video_creation:
+        ffmpeg_stitch_video(
+            frames=frames,
+            out_path=mp4_path,
+            fps=out_args.fps,
+            crf=out_args.ffmpeg_crf,
+            preset=out_args.ffmpeg_preset,
+            metadata_comment=infotext,
+            add_soundtrack=out_args.add_soundtrack,
+            audio_path=out_args.soundtrack_path or None,
+            ffmpeg_location=out_args.ffmpeg_location,
+        )
+        result.videos.append(mp4_path)
+        result.data_urls.append(video_to_data_url(mp4_path))
+    result.frame_dirs.append(batch_dir)
+    result.infotexts.append(infotext)
+
+
+def _run_dp(
+    pipe, args, out_args, outdir, resolved_seed, timestring, save_frames,
+    dp_shards, features_adapter,
+) -> RunResult:
+    """All batch_count samples in one dp-sharded computation
+    (t2v/parallel/dp_sample.py; reference DDP semantics)."""
+    from t2v.parallel.dp_sample import dp_sample
+    from t2v.parallel.mesh import MeshConfig, make_mesh
+
+    import jax
+
+    n = args.batch_count
+    mesh = None
+    if dp_shards > 1 and len(jax.devices()) >= dp_shards:
+        mesh = make_mesh(MeshConfig(dp=dp_shards), jax.devices()[:dp_shards])
+
+    ss_host = args.height // _latent_scale(pipe)
+    sample_shape = (args.frames, ss_host, args.width // _latent_scale(pipe), 4)
+
+    if isinstance(pipe, ModelScopePipeline):
+        conditioning = pipe.text_encoder.encode_request(
+            args.prompt, args.n_prompt, args.steps
+        )
+        cond, uncond = conditioning.cond, conditioning.uncond
+        sampler = args.sampler
+    else:
+        cond = pipe.encode_text([args.prompt])
+        uncond = pipe.encode_text([args.n_prompt])
+        sampler = "DDIM"
+
+    apply_fn = (
+        pipe.make_apply_fn(features_adapter=features_adapter)
+        if not isinstance(pipe, ModelScopePipeline)
+        else pipe.make_apply_fn()
+    )
+    x0 = dp_sample(
+        apply_fn,
+        pipe.schedule,
+        steps=args.steps,
+        sample_shape=sample_shape,
+        n_samples=n,
+        cond=cond,
+        uncond=uncond,
+        guidance_scale=args.cfg_scale,
+        eta=args.eta,
+        sampler_name=sampler,
+        seed=resolved_seed,
+        mesh=mesh,
+    )
+    x0.block_until_ready()
+
+    result = RunResult()
+    for batch in range(n):
+        frames = pipe.decode_latents(x0[batch])
+        infotext = pipe.create_infotext(args, resolved_seed + batch)
+        _emit_batch(
+            result, list(frames), infotext, args, out_args, outdir,
+            timestring, batch, resolved_seed + batch, save_frames,
+        )
+    return result
+
+
+def _latent_scale(pipe) -> int:
+    from t2v.pipeline.pipeline import _spatial_scale
+
+    return _spatial_scale(pipe.vae_cfg)
 
 
 def _resolve_model_dir(model: str) -> str:

@@ -283,14 +283,17 @@ class VideoCrafterPipeline:
         t_sample = time.perf_counter() - t0
 
         frames = self.decode_latents(x0[0])
-        infotext = (
-            f"{args.prompt}\nNegative prompt: {args.n_prompt}\n"
-            f"Steps: {args.steps}, Sampler: DDIM, CFG scale: {args.cfg_scale}, "
-            f"Seed: {batch_seed}, Size: {args.width}x{args.height}, "
-            f"Frames: {args.frames}, Model: VideoCrafter"
-        )
+        infotext = self.create_infotext(args, batch_seed)
         print(f"t2v videocrafter timings: sample={t_sample:.2f}s")
         return InferResult(frames=list(frames), latents=x0, infotext=infotext)
+
+    def create_infotext(self, args: T2VArgs, seed: int) -> str:
+        return (
+            f"{args.prompt}\nNegative prompt: {args.n_prompt}\n"
+            f"Steps: {args.steps}, Sampler: DDIM, CFG scale: {args.cfg_scale}, "
+            f"Seed: {seed}, Size: {args.width}x{args.height}, "
+            f"Frames: {args.frames}, Model: VideoCrafter"
+        )
 
     def decode_latents(self, latents: jax.Array) -> np.ndarray:
         if self._decode_fn is None:

@@ -90,6 +90,15 @@ class TestAPI:
         status, body = _get(f"{server}/t2v/api_version")
         assert status == 200 and body == {"version": "1.0"}
 
+    def test_index_webui(self, server):
+        with urllib.request.urlopen(f"{server}/", timeout=60) as r:
+            assert r.status == 200
+            assert "text/html" in r.headers["Content-Type"]
+            html = r.read().decode()
+        # the UI must wire the same endpoints it is served beside
+        for needle in ("/t2v/run", "/t2v/progress", "/t2v/interrupt", "/t2v/skip"):
+            assert needle in html
+
     def test_version(self, server):
         status, body = _get(f"{server}/t2v/version")
         assert status == 200 and "version" in body

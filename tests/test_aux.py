@@ -136,3 +136,31 @@ class TestErrorVideo:
         result = run(args, outdir=str(tmp_path), error_video_on_failure=True)
         assert result.data_urls and result.data_urls[0].startswith("data:video/mp4")
         assert not result.videos
+
+
+class TestVideoGrid:
+    def test_grid_geometry(self):
+        from t2v.media.video import make_video_grid
+
+        vids = [np.full((3, 8, 10, 3), i * 50, np.uint8) for i in range(4)]
+        frames = make_video_grid(vids, nrow=2, pad=1)
+        assert len(frames) == 3
+        # 2x2 grid: H = 2*(8+1)+1, W = 2*(10+1)+1
+        assert frames[0].shape == (19, 23, 3)
+        # top-left cell holds video 0, next column video 1
+        assert frames[0][1, 1, 0] == 0
+        assert frames[0][1, 12, 0] == 50
+
+    def test_save_video_grid(self, tmp_path):
+        from t2v.media.video import save_video_grid
+
+        vids = [np.random.default_rng(i).integers(0, 255, (4, 16, 16, 3)).astype(np.uint8) for i in range(3)]
+        out = str(tmp_path / "grid.mp4")
+        save_video_grid(vids, out, fps=4)
+        assert os.path.exists(out) and os.path.getsize(out) > 0
+
+    def test_mismatched_shapes_raise(self):
+        from t2v.media.video import make_video_grid
+
+        with np.testing.assert_raises(ValueError):
+            make_video_grid([np.zeros((2, 8, 8, 3), np.uint8), np.zeros((2, 4, 4, 3), np.uint8)])

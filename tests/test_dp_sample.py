@@ -1,0 +1,96 @@
+"""DP batch sampling: sharded execution + bit-parity with serial batches."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t2v.core import rng as rng_lib
+from t2v.diffusion.sampling import sample_loop
+from t2v.diffusion.schedules import DiffusionSchedule
+from t2v.parallel.dp_sample import _tile_cond, batched_noise, dp_sample
+from t2v.parallel.mesh import MeshConfig, make_mesh
+
+SHAPE1 = (2, 8, 8, 4)  # (F, H, W, C)
+
+
+def toy_apply(x, t, ctx):
+    # context-sensitive toy eps so CFG and cond tiling matter
+    return 0.1 * x + 0.01 * jnp.mean(ctx)
+
+
+class TestDPSample:
+    def test_matches_serial_batches(self):
+        sched = DiffusionSchedule.linear_sd(100)
+        cond = jnp.ones((1, 7, 16)) * 0.3
+        uncond = jnp.zeros((1, 7, 16))
+        n, seed = 4, 123
+        batched = dp_sample(
+            toy_apply, sched, steps=5, sample_shape=SHAPE1, n_samples=n,
+            cond=cond, uncond=uncond, guidance_scale=7.0, seed=seed,
+        )
+        assert batched.shape == (n,) + SHAPE1
+        for i in range(n):
+            serial = sample_loop(
+                toy_apply, sched, steps=5, shape=(1,) + SHAPE1,
+                cond=cond, uncond=uncond, guidance_scale=7.0,
+                key=rng_lib.key_for_seed(seed + i),
+            )
+            np.testing.assert_allclose(
+                np.asarray(batched[i]), np.asarray(serial[0]), atol=1e-5
+            )
+
+    def test_sharded_over_mesh(self):
+        sched = DiffusionSchedule.linear_sd(100)
+        mesh = make_mesh(MeshConfig(dp=4), jax.devices()[:4])
+        cond = jnp.ones((1, 7, 16)) * 0.3
+        out = dp_sample(
+            toy_apply, sched, steps=4, sample_shape=SHAPE1, n_samples=8,
+            cond=cond, uncond=jnp.zeros((1, 7, 16)), guidance_scale=3.0,
+            seed=7, mesh=mesh,
+        )
+        assert out.shape == (8,) + SHAPE1
+        assert np.isfinite(np.asarray(out)).all()
+        # and matches the unsharded run
+        ref = dp_sample(
+            toy_apply, sched, steps=4, sample_shape=SHAPE1, n_samples=8,
+            cond=cond, uncond=jnp.zeros((1, 7, 16)), guidance_scale=3.0,
+            seed=7,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_tile_cond_scheduled(self):
+        c3 = jnp.ones((1, 7, 16))
+        assert _tile_cond(c3, 3).shape == (3, 7, 16)
+        c4 = jnp.ones((5, 1, 7, 16))  # per-step cond table
+        assert _tile_cond(c4, 3).shape == (5, 3, 7, 16)
+        assert _tile_cond(None, 3) is None
+
+    def test_batched_noise_per_sample_seeds(self):
+        n1 = batched_noise(10, 3, SHAPE1)
+        row1 = rng_lib.latent_noise(rng_lib.key_for_seed(11), (1,) + SHAPE1)
+        np.testing.assert_array_equal(np.asarray(n1[1]), np.asarray(row1[0]))
+
+
+class TestRunDP:
+    def test_run_dp_end_to_end(self, tmp_path):
+        from t2v.core.config import T2VArgs, T2VOutputArgs
+        from t2v.pipeline.pipeline import ModelScopePipeline
+        from t2v.pipeline.run import run
+
+        pipe = ModelScopePipeline.random_init()
+        args = T2VArgs(
+            prompt="a dog", n_prompt="bad", steps=3, frames=2,
+            width=32, height=32, seed=5, batch_count=4, eta=0.0,
+        )
+        res = run(
+            args, T2VOutputArgs(), pipe=pipe, outdir=str(tmp_path),
+            save_frames=False, dp_shards=4,
+        )
+        assert len(res.videos) == 4 or len(res.frame_dirs) == 4
+        # serial reference: same seeds → same videos
+        res_serial = run(
+            args, T2VOutputArgs(), pipe=pipe, outdir=str(tmp_path / "s"),
+            save_frames=False, dp_shards=1,
+        )
+        assert len(res_serial.infotexts) == 4
+        assert res.infotexts == res_serial.infotexts
