@@ -17,7 +17,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from t2v.kernels.flash_attention import flash_attention
+from t2v.kernels.flash_attention import (
+    flash_attention,
+    flash_attention_bwd,
+    flash_attention_fwd,
+)
 
 # below this KV length the score matrix is cheap and XLA's fused attention
 # wins; above it the flash kernel's HBM savings dominate.
@@ -39,16 +43,17 @@ def _flash_diff(q, k, v, scale):
 
 
 def _flash_diff_fwd(q, k, v, scale):
-    # pallas_call has no JVP rule — run the kernel forward, save the inputs
-    return flash_attention(q, k, v, scale), (q, k, v)
+    # pallas_call has no JVP rule — run the kernel forward, save residuals
+    out, lse = flash_attention_fwd(q, k, v, scale)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_diff_bwd(scale, res, g):
-    # backward = gradient of the mathematically identical XLA attention,
-    # recomputed from the saved inputs (standard flash-attention remat).
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: xla_attention(q_, k_, v_, scale), q, k, v)
-    return vjp(g)
+    # Pallas FlashAttention-2 backward: blockwise recompute from (q, k, v,
+    # o, lse) — the (N, S) score matrix never hits HBM in training either.
+    q, k, v, o, lse = res
+    dq, dk, dv = flash_attention_bwd(q, k, v, o, lse, g, scale)
+    return dq, dk, dv
 
 
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)

@@ -31,8 +31,13 @@ LANES = 128
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float, kv_len: int, block_kv: int
+    q_ref, k_ref, v_ref, *rest,
+    scale: float, kv_len: int, block_kv: int, save_lse: bool
 ):
+    if save_lse:
+        o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        (o_ref, m_scr, l_scr, acc_scr), lse_ref = rest, None
     kv_idx = pl.program_id(2)
     n_kv = pl.num_programs(2)
 
@@ -76,10 +81,93 @@ def _flash_kernel(
         # guard fully-masked (padded) q rows against 0/0
         safe_l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+        if save_lse:
+            # logsumexp rows for the backward pass, lane-broadcast to the
+            # (8, 128)-tileable layout Mosaic requires (same trade as jax's
+            # own TPU flash kernel, which stores l/m at (…, q, 128))
+            lse_ref[0] = m_scr[:] + jnp.log(jnp.where(l_scr[:] == 0.0, 1.0, l_scr[:]))
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _pad_qkv(q, k, v, block_q, block_kv):
+    B, N, D = q.shape
+    S = k.shape[1]
+    n_pad = _round_up(N, block_q)
+    s_pad = _round_up(S, block_kv)
+    if n_pad != N:
+        q = jnp.pad(q, ((0, 0), (0, n_pad - N), (0, 0)))
+    if s_pad != S:
+        k = jnp.pad(k, ((0, 0), (0, s_pad - S), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, s_pad - S), (0, 0)))
+    return q, k, v, n_pad, s_pad
+
+
+def _flash_call(q, k, v, scale, block_q, block_kv, interpret, save_lse):
+    B, N, D = q.shape
+    S = k.shape[1]
+    if scale is None:
+        scale = D**-0.5
+
+    block_q = min(block_q, _round_up(N, 8))
+    block_kv = min(block_kv, _round_up(S, LANES))
+    q, k, v, n_pad, s_pad = _pad_qkv(q, k, v, block_q, block_kv)
+
+    grid = (B, n_pad // block_q, s_pad // block_kv)
+    out_specs = [pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((B, n_pad, D), q.dtype)]
+    if save_lse:
+        out_specs.append(
+            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((B, n_pad, LANES), jnp.float32))
+
+    res = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=float(scale), kv_len=S, block_kv=block_kv,
+            save_lse=save_lse,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, D), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=out_specs if save_lse else out_specs[0],
+        out_shape=out_shape if save_lse else out_shape[0],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+
+    if save_lse:
+        out, lse = res
+        if n_pad != N:
+            out, lse = out[:, :N], lse[:, :N]
+        return out, lse[:, :, 0]
+    out = res
+    return out[:, :N] if n_pad != N else out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_kv", "interpret")
+)
+def flash_attention_fwd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float | None = None,
+    block_q: int = 256,
+    block_kv: int = 256,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Training forward with residuals: (out (B, N, D), lse (B, N))."""
+    return _flash_call(q, k, v, scale, block_q, block_kv, interpret, True)
 
 
 @functools.partial(
@@ -94,45 +182,191 @@ def flash_attention(
     block_kv: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
-    """Blockwise attention, q: (B, N, D), k/v: (B, S, D) -> (B, N, D)."""
+    """Blockwise attention, q: (B, N, D), k/v: (B, S, D) -> (B, N, D).
+    Inference variant — no residual output."""
+    return _flash_call(q, k, v, scale, block_q, block_kv, interpret, False)
+
+
+# ---------------------------------------------------------------------------
+# Backward (FlashAttention-2 style): scores are recomputed blockwise from the
+# saved (q, k, v, lse); nothing (N, S)-shaped ever touches HBM. Two kernels:
+# dk/dv accumulate over q blocks, dq accumulates over kv blocks. delta_i =
+# rowsum(dO_i * O_i) is precomputed in XLA (one cheap fused reduction).
+
+
+def _recompute_p(q_s, k, lse, kv_idx, kv_len, block_kv):
+    """p = exp(q·kᵀ·scale − lse) with padded kv columns zeroed."""
+    s = jax.lax.dot_general(
+        q_s, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = jnp.exp(s - lse)
+    if kv_len % block_kv != 0:
+        first_oob = kv_len - kv_idx * block_kv
+        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+        p = jnp.where(col < first_oob, p, 0.0)
+    return p
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr, *, scale: float, kv_len: int, block_kv: int
+):
+    q_idx = pl.program_id(2)
+    n_q = pl.num_programs(2)
+    kv_idx = pl.program_id(1)
+
+    @pl.when(q_idx == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0].astype(jnp.float32)  # (bq, d)
+    k = k_ref[0].astype(jnp.float32)  # (bkv, d)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)  # (bq, d)
+    lse = lse_ref[0]  # (bq, 1)
+    delta = delta_ref[0]  # (bq, 1)
+
+    p = _recompute_p(q * scale, k, lse, kv_idx, kv_len, block_kv)  # (bq, bkv)
+    # dv += pᵀ · dO
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dp = dO · vᵀ ; ds = p ∘ (dp − delta) · scale ; dk += dsᵀ · q
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta) * scale
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(q_idx == n_q - 1)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
+    *, scale: float, kv_len: int, block_kv: int
+):
+    kv_idx = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]  # (bq, 1)
+    delta = delta_ref[0]  # (bq, 1)
+
+    p = _recompute_p(q * scale, k, lse, kv_idx, kv_len, block_kv)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta) * scale
+    dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_kv", "interpret")
+)
+def flash_attention_bwd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    o: jax.Array,
+    lse: jax.Array,
+    do: jax.Array,
+    scale: float | None = None,
+    block_q: int = 256,
+    block_kv: int = 256,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(dq, dk, dv) from saved forward residuals."""
     B, N, D = q.shape
     S = k.shape[1]
     if scale is None:
         scale = D**-0.5
-
     block_q = min(block_q, _round_up(N, 8))
     block_kv = min(block_kv, _round_up(S, LANES))
-    n_pad = _round_up(N, block_q)
-    s_pad = _round_up(S, block_kv)
 
+    # delta rows; padded q rows get 0 → zero contributions everywhere
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    q, k, v, n_pad, s_pad = _pad_qkv(q, k, v, block_q, block_kv)
     if n_pad != N:
-        q = jnp.pad(q, ((0, 0), (0, n_pad - N), (0, 0)))
-    if s_pad != S:
-        k = jnp.pad(k, ((0, 0), (0, s_pad - S), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, s_pad - S), (0, 0)))
+        do = jnp.pad(do, ((0, 0), (0, n_pad - N), (0, 0)))
+        lse = jnp.pad(lse, ((0, 0), (0, n_pad - N)))
+        delta = jnp.pad(delta, ((0, 0), (0, n_pad - N)))
+    # trailing-1 layout keeps the (8, 128) tiling rule satisfied:
+    # block (1, block_q, 1) has last dims (block_q % 8 == 0, 1 == dim)
+    lse = lse[:, :, None]
+    delta = delta[:, :, None]
 
-    grid = (B, n_pad // block_q, s_pad // block_kv)
-
-    out = pl.pallas_call(
+    q_specs = [
+        pl.BlockSpec((1, block_q, D), lambda b, j, i: (b, i, 0)),  # q
+        pl.BlockSpec((1, block_kv, D), lambda b, j, i: (b, j, 0)),  # k
+        pl.BlockSpec((1, block_kv, D), lambda b, j, i: (b, j, 0)),  # v
+        pl.BlockSpec((1, block_q, D), lambda b, j, i: (b, i, 0)),  # do
+        pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),  # lse
+        pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),  # delta
+    ]
+    dk, dv = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=float(scale), kv_len=S, block_kv=block_kv
+            _flash_bwd_dkv_kernel, scale=float(scale), kv_len=S, block_kv=block_kv
         ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_kv, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_kv, D), lambda b, i, j: (b, j, 0)),
+        grid=(B, s_pad // block_kv, n_pad // block_q),
+        in_specs=q_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_kv, D), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, D), lambda b, j, i: (b, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, D), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, s_pad, D), k.dtype),
+            jax.ShapeDtypeStruct((B, s_pad, D), v.dtype),
+        ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_kv, D), jnp.float32),
+            pltpu.VMEM((block_kv, D), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v)
+    )(q, k, v, do, lse, delta)
+
+    dq_specs = [
+        pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),  # q
+        pl.BlockSpec((1, block_kv, D), lambda b, i, j: (b, j, 0)),  # k
+        pl.BlockSpec((1, block_kv, D), lambda b, i, j: (b, j, 0)),  # v
+        pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),  # do
+        pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),  # lse
+        pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),  # delta
+    ]
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, scale=float(scale), kv_len=S, block_kv=block_kv
+        ),
+        grid=(B, n_pad // block_q, s_pad // block_kv),
+        in_specs=dq_specs,
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
 
     if n_pad != N:
-        out = out[:, :N]
-    return out
+        dq = dq[:, :N]
+    if s_pad != S:
+        dk = dk[:, :S]
+        dv = dv[:, :S]
+    return dq, dk, dv

@@ -47,3 +47,65 @@ def test_flash_bf16_io(rng):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref), rtol=3e-2, atol=3e-2
     )
+
+
+class TestFlashBackward:
+    """Pallas FlashAttention-2 backward vs jax.grad of the XLA reference."""
+
+    @pytest.mark.parametrize(
+        "b,n,s,d",
+        [
+            (2, 64, 64, 64),
+            (1, 300, 200, 64),   # ragged: padding on both axes
+            (2, 128, 77, 32),    # cross-attn
+        ],
+    )
+    def test_grads_match_xla(self, rng, b, n, s, d):
+        import jax
+
+        from t2v.kernels.flash_attention import (
+            flash_attention_bwd,
+            flash_attention_fwd,
+        )
+
+        q = jnp.asarray(rng.normal(size=(b, n, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(b, n, d)).astype(np.float32))
+
+        out, lse = flash_attention_fwd(q, k, v, block_q=128, block_kv=128, interpret=True)
+        # lse correctness vs dense logsumexp
+        scores = jnp.einsum("bnd,bsd->bns", q, k) * (d**-0.5)
+        ref_lse = jax.nn.logsumexp(scores, axis=-1)
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), rtol=1e-5, atol=1e-5)
+
+        dq, dk, dv = flash_attention_bwd(
+            q, k, v, out, lse, g, block_q=128, block_kv=128, interpret=True
+        )
+        _, vjp = jax.vjp(lambda a, b_, c: xla_attention(a, b_, c), q, k, v)
+        rq, rk, rv = vjp(g)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), rtol=2e-4, atol=2e-4)
+
+    def test_custom_vjp_dispatch(self, rng):
+        """attention(force='flash') must be differentiable end-to-end."""
+        import jax
+
+        from t2v.kernels.attention import attention
+
+        q = jnp.asarray(rng.normal(size=(1, 64, 32)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(1, 64, 32)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(1, 64, 32)).astype(np.float32))
+
+        # CPU runs the kernel via interpret inside custom_vjp only on TPU;
+        # here exercise the vjp wiring through the XLA-equivalent math
+        def loss_flash(q_):
+            return jnp.sum(attention(q_, k, v) ** 2)
+
+        def loss_xla(q_):
+            return jnp.sum(attention(q_, k, v, force="xla") ** 2)
+
+        gf = jax.grad(loss_flash)(q)
+        gx = jax.grad(loss_xla)(q)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=2e-4, atol=2e-4)
