@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     p.add_argument("--adapter-ckpt", help="T2I-Adapter checkpoint (VideoCrafter depth conditioning)")
     p.add_argument("--adapter-video", help="depth-map video for the adapter (external MiDaS output)")
+
+    p.add_argument("--embeddings-dir", help="textual-inversion embeddings directory (A1111 .pt/.safetensors)")
     # output
     p.add_argument("--outdir")
     p.add_argument("--fps", type=int, default=15)
@@ -124,6 +126,10 @@ def main(argv=None) -> int:
     pipe = None
     if ns.model_dir:
         pipe = ModelScopePipeline.from_model_dir(ns.model_dir, policy)
+        if ns.embeddings_dir and pipe.text_encoder is not None:
+            loaded = pipe.text_encoder.embedding_db.load_dir(ns.embeddings_dir)
+            if loaded:
+                print(f"loaded textual-inversion embeddings: {', '.join(loaded)}")
         for lora_path in ns.lora:
             from t2v.io.safetensors_io import load_safetensors
             from t2v.pipeline.lora import merge_stable_lora, unet_module_index

@@ -54,6 +54,62 @@ class EmbeddingDB:
     def __bool__(self):
         return bool(self._by_first_token)
 
+    def register_file(self, path: str, name: str | None = None) -> str:
+        """Load an A1111-format textual-inversion embedding file and
+        register it under its filename (or ``name``). Supports the torch
+        ``{'string_to_param': {'*': T}}`` layout, bare-tensor ``.pt`` dumps
+        keyed 'emb_params', and ``.safetensors`` (textual_inversion
+        semantics from clip_hardcode.py:219-234's host db)."""
+        import os
+
+        if path.endswith(".safetensors"):
+            from t2v.io.safetensors_io import load_safetensors
+
+            sd = load_safetensors(path)
+            if isinstance(sd, tuple):
+                sd = sd[0]
+        else:
+            from t2v.io.pickle_reader import load_torch_checkpoint
+
+            sd = load_torch_checkpoint(path)
+        vec = None
+        if "string_to_param" in sd:
+            p = sd["string_to_param"]
+            vec = p.get("*") if hasattr(p, "get") else None
+            if vec is None and hasattr(p, "values"):
+                vec = next(iter(p.values()))
+        elif "emb_params" in sd:
+            vec = sd["emb_params"]
+        else:
+            # single-tensor dict
+            tensors = [v for v in sd.values() if hasattr(v, "ndim")]
+            if len(tensors) == 1:
+                vec = tensors[0]
+        if vec is None:
+            raise ValueError(f"unrecognised embedding file layout: {path}")
+        vec = np.asarray(vec, np.float32)
+        if vec.ndim == 1:
+            vec = vec[None]
+        name = name or os.path.splitext(os.path.basename(path))[0]
+        self.register(name, vec)
+        return name
+
+    def load_dir(self, emb_dir: str) -> list[str]:
+        """Register every embedding file in a directory (A1111
+        embeddings-dir behaviour). Returns the registered names."""
+        import os
+
+        names = []
+        if not os.path.isdir(emb_dir):
+            return names
+        for fn in sorted(os.listdir(emb_dir)):
+            if fn.endswith((".pt", ".bin", ".safetensors")):
+                try:
+                    names.append(self.register_file(os.path.join(emb_dir, fn)))
+                except Exception as e:  # tolerate foreign files, like A1111
+                    print(f"t2v: skipping embedding {fn}: {e}")
+        return names
+
 
 @dataclass
 class Conditioning:

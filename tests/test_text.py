@@ -268,3 +268,49 @@ class TestTextEncoder:
         enc._cache.clear()
         with_ti = enc.encode_line("a cat")
         assert not np.allclose(base, with_ti)
+
+
+class TestEmbeddingFiles:
+    """A1111 textual-inversion embedding file loading (register_file/load_dir)."""
+
+    def _make(self, rng):
+        sd = make_torch_clip_sd(CFG, rng)
+        model = CLIPTextTransformer(cfg=CFG)
+        params = convert_open_clip_text(sd, CFG)
+        return TextEncoder(model, params, TOK)
+
+    def test_register_pt_string_to_param(self, rng, tmp_path):
+        import torch
+
+        enc = self._make(rng)
+        vec = rng.normal(size=(2, CFG.width)).astype(np.float32)
+        p = str(tmp_path / "mystyle.pt")
+        torch.save({"string_to_param": {"*": torch.from_numpy(vec)}}, p)
+        name = enc.embedding_db.register_file(p)
+        assert name == "mystyle"
+        z1 = enc.encode_line("a mystyle cat")
+        z2 = enc.encode_line("a cat")
+        assert not np.allclose(z1, z2)
+        # embedding must actually be spliced: compare against unregistered enc
+        enc2 = self._make(rng)
+        z3 = enc2.encode_line("a mystyle cat")
+        assert not np.allclose(z1, z3)
+
+    def test_register_safetensors(self, rng, tmp_path):
+        from safetensors.numpy import save_file
+
+        enc = self._make(rng)
+        vec = rng.normal(size=(1, CFG.width)).astype(np.float32)
+        p = str(tmp_path / "emb.safetensors")
+        save_file({"emb_params": vec}, p)
+        assert enc.embedding_db.register_file(p) == "emb"
+
+    def test_load_dir_tolerates_junk(self, rng, tmp_path):
+        import torch
+
+        enc = self._make(rng)
+        vec = rng.normal(size=(1, CFG.width)).astype(np.float32)
+        torch.save({"string_to_param": {"*": torch.from_numpy(vec)}}, str(tmp_path / "good.pt"))
+        (tmp_path / "junk.pt").write_bytes(b"not a checkpoint")
+        names = enc.embedding_db.load_dir(str(tmp_path))
+        assert names == ["good"]
