@@ -199,6 +199,18 @@ class T2VOutputArgs:
     ffmpeg_preset: str = "slow"
     add_soundtrack: str = "None"  # "None" | "File" | "Init Video"
     soundtrack_path: str = ""
+    # Upscaling / frame-interpolation options (schema parity with
+    # args.py:277-290 — stubs in the reference's extension path too; an
+    # external RealESRGAN/RIFE/FILM stage would consume them)
+    r_upscale_video: bool = False
+    r_upscale_factor: str = "x2"  # "x2" | "x3" | "x4"
+    r_upscale_model: str = "realesr-animevideov3"
+    r_upscale_keep_imgs: bool = True
+    frame_interpolation_engine: str = "None"  # "None" | "RIFE v4.6" | "FILM"
+    frame_interpolation_x_amount: int = 2
+    frame_interpolation_slow_mo_enabled: bool = False
+    frame_interpolation_slow_mo_amount: int = 2
+    frame_interpolation_keep_imgs: bool = False
 
     def replace(self, **kw: Any) -> "T2VOutputArgs":
         return dataclasses.replace(self, **kw)
