@@ -268,11 +268,21 @@ def _scan_simple(
 
     # chunked execution: return to host between chunks so a cooperative
     # interrupt (reference state.interrupted, samplers_common.py:48-52)
-    # can stop the loop.
+    # can stop the loop. The step offset rides in the scan CARRY, not in the
+    # xs constants — every full chunk then shares one jaxpr, so the whole
+    # loop compiles at most two executables (full chunk + remainder)
+    # instead of one per offset.
+    def chunk_body(carry, j):
+        xc, off = carry
+        xc, _ = body(xc, off + j)
+        return (xc, off), None
+
     done = 0
     while done < steps:
         n = min(callback_interval, steps - done)
-        x, _ = jax.lax.scan(body, x, jnp.arange(done, done + n))
+        (x, _), _ = jax.lax.scan(
+            chunk_body, (x, jnp.asarray(done, jnp.int32)), jnp.arange(n)
+        )
         x.block_until_ready()
         done += n
         callback(done)  # raises to interrupt

@@ -94,3 +94,26 @@ class TestRunDP:
         )
         assert len(res_serial.infotexts) == 4
         assert res.infotexts == res_serial.infotexts
+
+
+class TestMultihost:
+    def test_single_process_semantics(self):
+        from t2v.parallel import multihost as mh
+
+        assert mh.is_primary()
+        assert mh.host_seed(42) == 42
+        start, count = mh.local_shard(7)
+        assert (start, count) == (0, 7)
+
+    def test_local_shard_math(self, monkeypatch):
+        import jax
+        from t2v.parallel import multihost as mh
+
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        spans = []
+        for rank in range(4):
+            monkeypatch.setattr(jax, "process_index", lambda r=rank: r)
+            spans.append(mh.local_shard(10))
+        # 10 over 4 hosts: 3,3,2,2 contiguous and covering
+        assert spans == [(0, 3), (3, 3), (6, 2), (8, 2)]
+        assert sum(c for _, c in spans) == 10
