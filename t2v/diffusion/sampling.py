@@ -76,6 +76,8 @@ def cfg_combine(y, u, scale, mode: str):
     the rest copied from the conditional branch — the DDIM_Gaussian
     behaviour inherited from guided-diffusion's learned-variance splitting
     (gaussian_sampler.py:99-101,128-136).
+    mode="cfg_original" / "cfg_ours": the LVDM DDIM uc_type variants
+    (lvdm ddim.py:233-241): y + s*(y-u) and y + s*(u-y).
     """
     if mode == "full":
         return u + scale * (y - u)
@@ -83,6 +85,10 @@ def cfg_combine(y, u, scale, mode: str):
         d = y.shape[-1] // 2
         guided = u[..., :d] + scale * (y[..., :d] - u[..., :d])
         return jnp.concatenate([guided, y[..., d:]], axis=-1)
+    if mode == "cfg_original":
+        return y + scale * (y - u)
+    if mode == "cfg_ours":
+        return y + scale * (u - y)
     raise ValueError(mode)
 
 
@@ -135,6 +141,17 @@ def _inpaint_blend(x, step, steps, mask, image_latents, schedule_tables, t_cur, 
     return renoised * (1.0 - binary) + x * binary
 
 
+def _lvdm_mask_blend(x, mask, image_latents, schedule_tables, t_next, key):
+    """LVDM DDIM static mask blend (lvdm ddim.py:188-195): after each
+    update, known regions are re-imposed as q_sample(x0, t) — mask=1 KEEPS
+    the source (opposite polarity to the ModelScope progressive mask)."""
+    sqrt_a, sqrt_1ma = schedule_tables
+    noise = jax.random.normal(key, x.shape, x.dtype)
+    known = sqrt_a[t_next] * image_latents + sqrt_1ma[t_next] * noise
+    m = mask.astype(x.dtype)
+    return known * m + (1.0 - m) * x
+
+
 def sample_loop(
     apply_fn: Callable,
     schedule: DiffusionSchedule,
@@ -153,7 +170,8 @@ def sample_loop(
     strength: float = 1.0,
     mask=None,
     image_latents=None,
-    inpaint_mode: str = "initial_only",  # "initial_only" (reference parity) | "progressive"
+    inpaint_mode: str = "initial_only",  # "initial_only" (reference parity) | "progressive" | "lvdm_static"
+    cfg_combine_mode: str | None = None,  # override (LVDM uc_type variants)
     callback: Callable[[int], None] | None = None,
     callback_interval: int | None = None,
     dtype=jnp.float32,
@@ -181,7 +199,7 @@ def sample_loop(
             return _scan_simple(
                 mod, p, x, apply_fn, cond, uncond, guidance_scale, key,
                 eta, mask, image_latents, inpaint_mode, schedule, callback,
-                callback_interval,
+                callback_interval, cfg_combine_mode,
             )
         x = mod.encode_vid2vid(schedule, latents, noise, strength, steps)
     elif latents is not None:
@@ -202,7 +220,7 @@ def sample_loop(
     return _scan_simple(
         mod, p, x, apply_fn, cond, uncond, guidance_scale, key, eta,
         mask, image_latents, inpaint_mode, schedule, callback,
-        callback_interval,
+        callback_interval, cfg_combine_mode,
     )
 
 
@@ -223,9 +241,12 @@ def _unipc_model_fn(apply_fn, cond, uncond, guidance_scale, p: unipc_mod.Plan):
 def _scan_simple(
     mod, p, x, apply_fn, cond, uncond, guidance_scale, key, eta,
     mask, image_latents, inpaint_mode, schedule, callback, callback_interval,
+    cfg_combine_mode=None,
 ):
     """lax.scan driver for the single-state samplers (DDIM_Gaussian, DDIM)."""
-    eps_fn = make_eps_fn(apply_fn, cond, uncond, guidance_scale, mod.CFG_COMBINE)
+    eps_fn = make_eps_fn(
+        apply_fn, cond, uncond, guidance_scale, cfg_combine_mode or mod.CFG_COMBINE
+    )
     steps = p.steps
     needs_noise = eta > 0
     progressive = (
@@ -234,8 +255,13 @@ def _scan_simple(
         and image_latents is not None
         and mod.FRAME_INPAINT_SUPPORT
     )
+    lvdm_static = (
+        inpaint_mode == "lvdm_static"
+        and mask is not None
+        and image_latents is not None
+    )
     t_table = jnp.asarray(np.asarray(p.timesteps), jnp.float32)
-    if progressive:
+    if progressive or lvdm_static:
         sched_tables = (
             jnp.asarray(schedule.sqrt_alphas_cumprod),
             jnp.asarray(schedule.sqrt_one_minus_alphas_cumprod),
@@ -256,6 +282,13 @@ def _scan_simple(
         if progressive:
             x = _inpaint_blend(
                 x, i, steps, mask, image_latents, sched_tables, t_int[i],
+                jax.random.fold_in(inpaint_key, i),
+            )
+        elif lvdm_static:
+            # blend at the post-step noise level (reference's t = step-1)
+            t_next = jnp.where(i + 1 < steps, t_int[jnp.minimum(i + 1, steps - 1)], 0)
+            x = _lvdm_mask_blend(
+                x, mask, image_latents, sched_tables, t_next,
                 jax.random.fold_in(inpaint_key, i),
             )
         return x, None

@@ -242,6 +242,9 @@ class VideoCrafterPipeline:
         batch_index: int = 0,
         sample_type: str = "ddim",  # "ddim" | "ddpm" (sample_utils.py:56-87)
         features_adapter=None,  # T2I-Adapter feature pyramid (depth cond)
+        mask=None,  # (1, F, h, w, C) 1=keep source (lvdm ddim.py:188-195)
+        source_latents=None,  # x0 for masked regions
+        uc_type: Optional[str] = None,  # None | "cfg_original" | "cfg_ours"
     ) -> InferResult:
         sanity_check_args(args)
         seed = rng_lib.resolve_seed(args.seed)
@@ -278,6 +281,10 @@ class VideoCrafterPipeline:
                 key=key,
                 callback=callback,
                 callback_interval=callback_interval,
+                mask=mask,
+                image_latents=source_latents,
+                inpaint_mode="lvdm_static" if mask is not None else "initial_only",
+                cfg_combine_mode=uc_type,
             )
         x0.block_until_ready()
         t_sample = time.perf_counter() - t0
