@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adapter-video", help="depth-map video for the adapter (external MiDaS output)")
 
     p.add_argument("--embeddings-dir", help="textual-inversion embeddings directory (A1111 .pt/.safetensors)")
+    p.add_argument(
+        "--deep-cache", type=int, default=1, metavar="K",
+        help="DeepCache acceleration: full UNet every K steps, cached deep "
+        "trunk in between (txt2vid, DDIM samplers; 1 = exact/off)",
+    )
     # output
     p.add_argument("--outdir")
     p.add_argument("--fps", type=int, default=15)
@@ -149,7 +154,7 @@ def main(argv=None) -> int:
     result = run(
         args, out_args, pipe=pipe, outdir=ns.outdir,
         adapter_ckpt=ns.adapter_ckpt, adapter_video=ns.adapter_video,
-        dp_shards=ns.dp_shards,
+        dp_shards=ns.dp_shards, deep_cache_interval=ns.deep_cache,
     )
 
     if ns.profile:

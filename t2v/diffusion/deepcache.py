@@ -1,0 +1,105 @@
+"""DeepCache-style accelerated sampling (optional, opt-in).
+
+Technique from the retrieved papers (PAPERS.md: "Cache Me if You Can —
+block caching"; "Faster Diffusion — encoder reuse"): across adjacent
+denoise steps the UNet's deep-trunk activations change slowly, so the full
+network only needs to run every ``interval`` steps; in between, the cached
+deep feature is combined with freshly computed shallow layers. Typical
+settings (interval 2-3) cut UNet FLOPs ~40-60% with minor quality cost —
+this is an approximation, OFF by default (interval=1 is exact).
+
+Implementation: the scan carry is (x, deep_feature); a ``lax.cond`` picks
+the full forward (also refreshing the cache) or the cached shallow pass.
+Supports the DDIM_Gaussian and DDIM samplers (single-state step fns).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t2v.core import rng as rng_lib
+from t2v.diffusion import ddim as ddim_mod
+from t2v.diffusion import ddim_gaussian as gaussian_mod
+from t2v.diffusion.sampling import _cond_at, cfg_combine
+from t2v.diffusion.schedules import DiffusionSchedule
+
+_MODS = {"DDIM_Gaussian": gaussian_mod, "DDIM": ddim_mod}
+
+
+def sample_loop_deepcache(
+    apply_full,     # (x, t, ctx) -> (eps, deep_feature)
+    apply_cached,   # (x, t, ctx, deep_feature) -> eps
+    schedule: DiffusionSchedule,
+    *,
+    steps: int,
+    shape: tuple[int, ...],
+    cond,
+    uncond=None,
+    guidance_scale: float = 1.0,
+    eta: float = 0.0,
+    sampler_name: str = "DDIM_Gaussian",
+    key: jax.Array | None = None,
+    interval: int = 3,
+):
+    """Returns the final x0 latent, like sampling.sample_loop (txt2vid)."""
+    if sampler_name not in _MODS:
+        raise ValueError(f"deepcache supports {list(_MODS)}, not {sampler_name}")
+    mod = _MODS[sampler_name]
+    if key is None:
+        key = rng_lib.key_for_seed(0)
+    x = rng_lib.latent_noise(key, shape).astype(jnp.float32)
+    p = mod.plan(schedule, steps, eta)
+    t_table = jnp.asarray(np.asarray(p.timesteps), jnp.float32)
+    combine = mod.CFG_COMBINE
+    do_cfg = uncond is not None and guidance_scale not in (None, 1)
+    eta_key = rng_lib.stream(key, "ddim_eta")
+
+    def model_in(x, step):
+        c = _cond_at(cond, step)
+        b = x.shape[0]
+        tt = jnp.full((b,), t_table[step], jnp.float32)
+        if not do_cfg:
+            return x, tt, c
+        uc = _cond_at(uncond, step)
+        return (
+            jnp.concatenate([x, x], axis=0),
+            jnp.concatenate([tt, tt], axis=0),
+            jnp.concatenate([uc, c], axis=0),
+        )
+
+    def to_eps(out):
+        if not do_cfg:
+            return out
+        u, y = jnp.split(out, 2, axis=0)
+        return cfg_combine(y, u, guidance_scale, combine)
+
+    # deep-feature shape from an abstract full pass at step 0
+    x2, tt, cc = model_in(x, 0)
+    feat_aval = jax.eval_shape(apply_full, x2, tt, cc)[1]
+    feat0 = jnp.zeros(feat_aval.shape, feat_aval.dtype)
+
+    def body(carry, i):
+        xc, feat = carry
+        x2, tt, cc = model_in(xc, i)
+
+        def full(_):
+            out, new_feat = apply_full(x2, tt, cc)
+            return out, new_feat.astype(feat.dtype)
+
+        def cached(_):
+            return apply_cached(x2, tt, cc, feat), feat
+
+        out, feat = jax.lax.cond(i % interval == 0, full, cached, operand=None)
+        eps = to_eps(out).astype(jnp.float32)
+        noise = (
+            jax.random.normal(jax.random.fold_in(eta_key, i), xc.shape, xc.dtype)
+            if eta > 0
+            else jnp.zeros((), xc.dtype)
+        )
+        xc = mod.step(xc, eps, p, i, noise)
+        return (xc, feat), None
+
+    (x, _), _ = jax.lax.scan(body, (x, feat0), jnp.arange(steps))
+    return x

@@ -262,7 +262,18 @@ class UNetSD(nn.Module):
         raise ValueError(d.kind)
 
     @nn.compact
-    def __call__(self, x, t, context):
+    def __call__(
+        self, x, t, context, *,
+        deep_feature=None, return_deep: bool = False, cache_split: int = 1,
+    ):
+        """deep_feature / return_deep implement DeepCache-style feature
+        reuse ("Cache Me if You Can", PAPERS.md; block caching): the UNet
+        splits after the first ``cache_split`` encoder entries. A *full*
+        pass with return_deep=True also returns the deep-trunk output (the
+        activation entering the last ``cache_split`` decoder entries);
+        passing that back as ``deep_feature`` on subsequent steps skips the
+        entire deep trunk — only the shallow encoder head and decoder tail
+        (whose inputs change fastest across timesteps) are recomputed."""
         cfg = self.cfg
         p = self.policy
         b, f, h, w, _ = x.shape
@@ -283,16 +294,29 @@ class UNetSD(nn.Module):
 
         x = x.astype(p.compute_dtype).reshape(b * f, h, w, x.shape[-1])
 
+        cached = deep_feature is not None
+        n_dec = len(topo.decoder)
+        split = cache_split if (cached or return_deep) else 0
+
         xs = []
-        for entry in topo.encoder:
+        for ei, entry in enumerate(topo.encoder):
+            if cached and ei >= split:
+                break
             for d in entry:
                 x = self._apply_block(d, x, e_f, ctx_f, b, f)
             xs.append(x)
 
-        for d in topo.middle:
-            x = self._apply_block(d, x, e_f, ctx_f, b, f)
+        deep_out = None
+        if cached:
+            x = deep_feature.astype(p.compute_dtype)
+        else:
+            for d in topo.middle:
+                x = self._apply_block(d, x, e_f, ctx_f, b, f)
 
-        for entry in topo.decoder:
+        dec_entries = topo.decoder[n_dec - split :] if cached else topo.decoder
+        for di, entry in enumerate(dec_entries):
+            if return_deep and not cached and di == n_dec - split:
+                deep_out = x
             x = jnp.concatenate([x, xs.pop()], axis=-1)
             for d in entry:
                 x = self._apply_block(d, x, e_f, ctx_f, b, f)
@@ -309,4 +333,7 @@ class UNetSD(nn.Module):
             dtype=p.compute_dtype,
             param_dtype=p.param_dtype,
         )(x)
-        return x.reshape(b, f, h, w, cfg.out_dim)
+        out = x.reshape(b, f, h, w, cfg.out_dim)
+        if return_deep and not cached:
+            return out, deep_out
+        return out

@@ -278,6 +278,7 @@ class ModelScopePipeline:
         callback_interval: Optional[int] = None,
         batch_index: int = 0,
         inpaint_mode: str = "initial_only",
+        deep_cache_interval: int = 1,
     ) -> InferResult:
         sanity_check_args(args)
         seed = rng_lib.resolve_seed(args.seed)
@@ -302,6 +303,40 @@ class ModelScopePipeline:
             return unet.apply(params, x, t, ctx)
 
         t0 = time.perf_counter()
+        if (
+            deep_cache_interval > 1
+            and latents is None
+            and mask is None
+            and args.sampler in ("DDIM_Gaussian", "DDIM")
+        ):
+            from t2v.diffusion.deepcache import sample_loop_deepcache
+
+            def apply_full(x, t, ctx):
+                return unet.apply(params, x, t, ctx, return_deep=True)
+
+            def apply_cached(x, t, ctx, feat):
+                return unet.apply(params, x, t, ctx, deep_feature=feat)
+
+            x0 = sample_loop_deepcache(
+                apply_full, apply_cached, self.schedule,
+                steps=steps, shape=shape,
+                cond=conditioning.cond, uncond=conditioning.uncond,
+                guidance_scale=args.cfg_scale, eta=args.eta,
+                sampler_name=args.sampler, key=key,
+                interval=deep_cache_interval,
+            )
+            x0.block_until_ready()
+            t_sample = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            frames = self.decode_latents(x0[0])
+            t_decode = time.perf_counter() - t0
+            infotext = self.create_infotext(args, batch_seed)
+            print(
+                f"t2v timings (deepcache x{deep_cache_interval}): "
+                f"text={t_text:.2f}s sample={t_sample:.2f}s decode={t_decode:.2f}s"
+            )
+            return InferResult(frames=list(frames), latents=x0, infotext=infotext)
+
         x0 = sample_loop(
             apply_fn,
             self.schedule,

@@ -84,6 +84,7 @@ def run(
     adapter_ckpt: Optional[str] = None,
     adapter_video: Optional[str] = None,
     dp_shards: int = 1,
+    deep_cache_interval: int = 1,
 ) -> RunResult:
     """error_video_on_failure=True reproduces the reference UI behaviour:
     any generation exception yields the error-placeholder data-URL instead
@@ -96,7 +97,7 @@ def run(
                 save_frames=save_frames, callback_interval=callback_interval,
                 error_video_on_failure=False,
                 adapter_ckpt=adapter_ckpt, adapter_video=adapter_video,
-                dp_shards=dp_shards,
+                dp_shards=dp_shards, deep_cache_interval=deep_cache_interval,
             )
         except Exception:
             import traceback
@@ -209,6 +210,7 @@ def run(
                     batch_index=batch,
                     callback=job_state.step_callback,
                     callback_interval=callback_interval,
+                    deep_cache_interval=deep_cache_interval,
                 )
             else:
                 # VideoCrafter: txt2vid (+ optional depth adapter)
