@@ -26,6 +26,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-dir", required=True)
     p.add_argument("--meta-path")
     p.add_argument("--model-dir", help="init from a ModelScope model dir (omit for random init)")
+    p.add_argument(
+        "--model-type", default="ModelScope", choices=["ModelScope", "VideoCrafter"],
+        help="UNet family to train (the reference's training machinery is "
+        "LVDM-side, ddpm3d.py:349-372; both families share the step here)",
+    )
+    p.add_argument("--vc-ckpt", help="VideoCrafter model.ckpt to fine-tune from")
     p.add_argument("--out", default="ckpts")
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--frames", type=int, default=16)
@@ -67,7 +73,19 @@ def main(argv=None) -> int:
     from t2v.parallel.train import init_train_state, make_optimizer, make_train_step
     from t2v.pipeline.pipeline import ModelScopePipeline
 
-    if ns.tiny:
+    if ns.model_type == "VideoCrafter":
+        from t2v.pipeline.videocrafter import VideoCrafterPipeline
+
+        if ns.vc_ckpt:
+            pipe = VideoCrafterPipeline.from_checkpoint(ns.vc_ckpt, policy=Policy.fp32())
+        elif ns.tiny:
+            pipe = VideoCrafterPipeline.random_init()
+        else:
+            from t2v.core.config import VAEConfig  # noqa: F401 (doc)
+            from t2v.models.videocrafter_unet import VideoCrafterUNetConfig
+
+            pipe = VideoCrafterPipeline.random_init(VideoCrafterUNetConfig())
+    elif ns.tiny:
         pipe = ModelScopePipeline.random_init()
     elif ns.model_dir:
         pipe = ModelScopePipeline.from_model_dir(ns.model_dir, Policy.fp32())
@@ -76,14 +94,25 @@ def main(argv=None) -> int:
 
         pipe = ModelScopePipeline.random_init(ModelScopeUNetConfig())
 
+    is_vc = ns.model_type == "VideoCrafter"
+    unet_cfg = pipe.cfg if is_vc else pipe.unet_cfg
+    clip_cfg = pipe.clip_cfg
+    clip_params = pipe.clip_params if is_vc else pipe.text_encoder.params
+    if is_vc:
+        encode_caption = lambda c: jnp.asarray(pipe.encode_text([c]))
+    else:
+        encode_caption = lambda c: jnp.asarray(pipe.text_encoder.encode_line(c))[None]
+
     mesh = make_mesh(MeshConfig(dp=-1, sp=ns.sp, tp=ns.tp))
     opt = make_optimizer(ns.lr, ns.weight_decay)
     lora_index = None
     if ns.lora_rank > 0:
+        if is_vc:
+            raise SystemExit("--lora-rank training currently supports ModelScope only")
         from t2v.parallel.train import make_lora_train_step
         from t2v.pipeline.lora import init_lora, unet_module_index
 
-        lora_index = unet_module_index(pipe.unet_cfg)
+        lora_index = unet_module_index(unet_cfg)
         lora0 = init_lora(
             pipe.unet_params, lora_index, ns.lora_rank, jax.random.key(ns.seed)
         )
@@ -118,10 +147,7 @@ def main(argv=None) -> int:
         latents = jnp.concatenate(
             [pipe.compute_latents(f) for f in frames], axis=0
         )
-        context = jnp.concatenate(
-            [jnp.asarray(pipe.text_encoder.encode_line(c))[None] for c in captions],
-            axis=0,
-        )
+        context = jnp.concatenate([encode_caption(c) for c in captions], axis=0)
         batch = {"latents": latents, "context": context}
         key, sub = jax.random.split(key)
         with mesh:
@@ -151,10 +177,11 @@ def main(argv=None) -> int:
                         state.ema_params if state.ema_params is not None else state.params
                     ),
                     vae_params=jax.device_get(pipe.vae_params),
-                    clip_params=jax.device_get(pipe.text_encoder.params),
-                    unet_cfg=pipe.unet_cfg,
+                    clip_params=jax.device_get(clip_params),
+                    unet_cfg=unet_cfg,
                     vae_cfg=pipe.vae_cfg,
-                    clip_cfg=pipe.clip_cfg,
+                    clip_cfg=clip_cfg,
+                    model_family="videocrafter" if is_vc else "modelscope",
                 )
             print(f"saved {out}")
         if step >= ns.steps:

@@ -302,6 +302,23 @@ class VideoCrafterPipeline:
             f"Frames: {args.frames}, Model: VideoCrafter"
         )
 
+    def compute_latents(self, frames_rgb) -> jax.Array:
+        """(F, H, W, 3) float in [-1,1] → (1, F, h, w, 4) scaled latents —
+        the LVDM 2D frame-batched encode (ddpm3d.py:769-819), posterior
+        mean × scale_factor."""
+        vae, vp = self.vae, self.vae_params
+
+        @jax.jit
+        def enc(p, z):
+            return vae.apply(p, z, method=AutoencoderKL.encode)
+
+        x = jnp.asarray(frames_rgb, jnp.float32)
+        chunks = []
+        for i in range(0, x.shape[0], DECODE_CHUNK):
+            mean, _ = enc(vp, x[i : i + DECODE_CHUNK])
+            chunks.append(mean.astype(jnp.float32) * self.cfg.scale_factor)
+        return jnp.concatenate(chunks, axis=0)[None]
+
     def decode_latents(self, latents: jax.Array) -> np.ndarray:
         if self._decode_fn is None:
             vae, vp = self.vae, self.vae_params

@@ -154,3 +154,24 @@ class TestDDPMSampling:
         assert np.isfinite(np.asarray(out)).all()
         out2 = ddpm_mod.sample(eps_fn, sched, noise, key)
         assert np.allclose(np.asarray(out), np.asarray(out2))
+
+
+class TestTrainCLIVideoCrafter:
+    def test_one_step_vc_tiny(self, tmp_path):
+        root = _make_fake_webvid(str(tmp_path / "data"), n_videos=2, frames=8, size=48)
+        out = str(tmp_path / "out")
+        from t2v.cli.train import main
+
+        rc = main([
+            "--data-dir", root, "--tiny", "--model-type", "VideoCrafter",
+            "--batch-size", "2", "--frames", "4", "--resolution", "32",
+            "--steps", "1", "--save-every", "1", "--log-every", "1",
+            "--out", out,
+        ])
+        assert rc == 0
+        saved = os.listdir(out)
+        assert saved == ["step_1"]
+        import json
+
+        meta = json.load(open(os.path.join(out, "step_1", "t2v_native.json")))
+        assert meta["model_family"] == "videocrafter"
