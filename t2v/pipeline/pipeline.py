@@ -49,7 +49,15 @@ from t2v.text.encoder import TextEncoder
 from t2v.text.tokenizer import CLIPTokenizer
 
 SCALE_FACTOR = 0.18215  # latent scaling (t2v_pipeline.py:153,185,300)
-DECODE_CHUNK = 8  # frames per VAE decode call (bounds peak HBM)
+DECODE_CHUNK = 8  # frames per VAE encode call (bounds peak HBM)
+# decode frames-per-call adapts to the output pixel volume: each extra call
+# pays a dispatch round-trip, so small resolutions decode in ONE call while
+# hi-res configs stay chunked (with spatial tiling on top).
+DECODE_PIXEL_BUDGET = 2_000_000
+
+
+def _decode_chunk_frames(h_img: int, w_img: int) -> int:
+    return max(1, DECODE_PIXEL_BUDGET // max(1, h_img * w_img))
 
 
 def _spatial_scale(vae_cfg: VAEConfig) -> int:
@@ -84,6 +92,7 @@ class ModelScopePipeline:
     # jit caches keyed by static shapes
     _decode_fn: Any = field(default=None, repr=False)
     _encode_fn: Any = field(default=None, repr=False)
+    _sample_cache: dict = field(default_factory=dict, repr=False)
 
     # ------------------------------------------------------------------
 
@@ -210,18 +219,20 @@ class ModelScopePipeline:
                 base, zz, tile=tile, overlap=self.decode_tile_overlap,
                 upscale=_spatial_scale(self.vae_cfg),
             )
+        up = _spatial_scale(self.vae_cfg)
+        step_f = _decode_chunk_frames(latents.shape[1] * up, latents.shape[2] * up)
         outs = []
         z = latents / SCALE_FACTOR
         n = z.shape[0]
-        for i in range(0, n, DECODE_CHUNK):
-            chunk = z[i : i + DECODE_CHUNK]
+        for i in range(0, n, step_f):
+            chunk = z[i : i + step_f]
             pad = 0
-            if chunk.shape[0] < DECODE_CHUNK and n > DECODE_CHUNK:
-                pad = DECODE_CHUNK - chunk.shape[0]
+            if chunk.shape[0] < step_f and n > step_f:
+                pad = step_f - chunk.shape[0]
                 chunk = jnp.pad(chunk, ((0, pad), (0, 0), (0, 0), (0, 0)))
             img = decode_fn(chunk)
             if pad:
-                img = img[: DECODE_CHUNK - pad]
+                img = img[: step_f - pad]
             outs.append(np.asarray(jnp.asarray(img).astype(jnp.float32)))
         imgs = np.concatenate(outs, axis=0)
         # tensor2vid normalisation: mean/std 0.5 (t2v_pipeline.py:447-460)
@@ -297,10 +308,7 @@ class ModelScopePipeline:
         )
         t_text = time.perf_counter() - t0
 
-        unet, params = self.unet, self.unet_params
-
-        def apply_fn(x, t, ctx):
-            return unet.apply(params, x, t, ctx)
+        unet = self.unet
 
         t0 = time.perf_counter()
         if (
@@ -309,22 +317,14 @@ class ModelScopePipeline:
             and mask is None
             and args.sampler in ("DDIM_Gaussian", "DDIM")
         ):
-            from t2v.diffusion.deepcache import sample_loop_deepcache
-
-            def apply_full(x, t, ctx):
-                return unet.apply(params, x, t, ctx, return_deep=True)
-
-            def apply_cached(x, t, ctx, feat):
-                return unet.apply(params, x, t, ctx, deep_feature=feat)
-
-            x0 = sample_loop_deepcache(
-                apply_full, apply_cached, self.schedule,
-                steps=steps, shape=shape,
-                cond=conditioning.cond, uncond=conditioning.uncond,
-                guidance_scale=args.cfg_scale, eta=args.eta,
-                sampler_name=args.sampler, key=key,
-                interval=deep_cache_interval,
-            )
+            x0 = self._sampler_fn(
+                ("deepcache", steps, shape, args.sampler, args.cfg_scale,
+                 args.eta, deep_cache_interval),
+                self._build_deepcache_fn(
+                    steps, shape, args.sampler, args.cfg_scale, args.eta,
+                    deep_cache_interval,
+                ),
+            )(self.unet_params, key, conditioning.cond, conditioning.uncond)
             x0.block_until_ready()
             t_sample = time.perf_counter() - t0
             t0 = time.perf_counter()
@@ -337,25 +337,61 @@ class ModelScopePipeline:
             )
             return InferResult(frames=list(frames), latents=x0, infotext=infotext)
 
-        x0 = sample_loop(
-            apply_fn,
-            self.schedule,
-            steps=steps,
-            shape=shape,
-            cond=conditioning.cond,
-            uncond=conditioning.uncond,
-            guidance_scale=args.cfg_scale,
-            eta=args.eta,
-            sampler_name=args.sampler,
-            key=key,
-            latents=latents,
-            is_vid2vid=is_vid2vid,
-            strength=args.strength,
-            mask=mask,
-            inpaint_mode=inpaint_mode,
-            callback=callback,
-            callback_interval=callback_interval,
-        )
+        if callback is None or callback_interval is None:
+            # whole-loop jit with params as a REAL argument: embedding the
+            # 1.7B-param tree as jaxpr constants overflows the compile
+            # transport and re-uploads weights per executable
+            static = (
+                steps, shape, args.sampler, float(args.cfg_scale),
+                float(args.eta), float(args.strength), is_vid2vid,
+                inpaint_mode, latents is not None, mask is not None,
+            )
+
+            def build():
+                def f(params, key, cond, uncond, latents, mask):
+                    def apply_fn(x, t, ctx):
+                        return unet.apply(params, x, t, ctx)
+
+                    return sample_loop(
+                        apply_fn, self.schedule, steps=steps, shape=shape,
+                        cond=cond, uncond=uncond,
+                        guidance_scale=args.cfg_scale, eta=args.eta,
+                        sampler_name=args.sampler, key=key, latents=latents,
+                        is_vid2vid=is_vid2vid, strength=args.strength,
+                        mask=mask, inpaint_mode=inpaint_mode,
+                    )
+
+                return jax.jit(f)
+
+            x0 = self._sampler_fn(static, build)(
+                self.unet_params, key, conditioning.cond, conditioning.uncond,
+                latents, mask,
+            )
+        else:
+            # cooperative-interrupt chunked path (host callback between
+            # chunks) — closures capture params as constants here
+            def apply_fn(x, t, ctx):
+                return unet.apply(self.unet_params, x, t, ctx)
+
+            x0 = sample_loop(
+                apply_fn,
+                self.schedule,
+                steps=steps,
+                shape=shape,
+                cond=conditioning.cond,
+                uncond=conditioning.uncond,
+                guidance_scale=args.cfg_scale,
+                eta=args.eta,
+                sampler_name=args.sampler,
+                key=key,
+                latents=latents,
+                is_vid2vid=is_vid2vid,
+                strength=args.strength,
+                mask=mask,
+                inpaint_mode=inpaint_mode,
+                callback=callback,
+                callback_interval=callback_interval,
+            )
         x0.block_until_ready()
         t_sample = time.perf_counter() - t0
 
@@ -369,6 +405,39 @@ class ModelScopePipeline:
             f"decode={t_decode:.2f}s"
         )
         return InferResult(frames=list(frames), latents=x0, infotext=infotext)
+
+    def _sampler_fn(self, static_key, build):
+        """Per-pipeline cache of jitted sampler executables, keyed by the
+        static sampling configuration."""
+        fn = self._sample_cache.get(static_key)
+        if fn is None:
+            fn = build()
+            self._sample_cache[static_key] = fn
+        return fn
+
+    def _build_deepcache_fn(self, steps, shape, sampler, cfg_scale, eta, interval):
+        unet, schedule = self.unet, self.schedule
+
+        def build():
+            from t2v.diffusion.deepcache import sample_loop_deepcache
+
+            def f(params, key, cond, uncond):
+                def apply_full(x, t, ctx):
+                    return unet.apply(params, x, t, ctx, return_deep=True)
+
+                def apply_cached(x, t, ctx, feat):
+                    return unet.apply(params, x, t, ctx, deep_feature=feat)
+
+                return sample_loop_deepcache(
+                    apply_full, apply_cached, schedule, steps=steps,
+                    shape=shape, cond=cond, uncond=uncond,
+                    guidance_scale=cfg_scale, eta=eta, sampler_name=sampler,
+                    key=key, interval=interval,
+                )
+
+            return jax.jit(f)
+
+        return build
 
     def create_infotext(self, args: T2VArgs, seed: int) -> str:
         """Generation-parameter provenance string

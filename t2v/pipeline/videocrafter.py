@@ -56,6 +56,7 @@ class VideoCrafterPipeline:
     tokenizer: Optional[CLIPTokenizer]
     schedule: DiffusionSchedule
     _decode_fn: Any = field(default=None, repr=False)
+    _sample_cache: dict = field(default_factory=dict, repr=False)
 
     @classmethod
     def random_init(cls, cfg: VideoCrafterUNetConfig | None = None, policy: Policy = Policy(), seed: int = 0):
@@ -267,6 +268,47 @@ class VideoCrafterPipeline:
             eps_fn = make_eps_fn(apply_fn, cond, uncond, args.cfg_scale, "full")
             noise = rng_lib.latent_noise(key, shape)
             x0 = ddpm_mod.sample(eps_fn, self.schedule, noise, key)
+        elif callback is None or callback_interval is None:
+            # whole-loop jit, params as a real argument (avoids embedding
+            # the weights as jaxpr constants — see ModelScopePipeline.infer)
+            static = (
+                args.steps, shape, float(args.cfg_scale), float(args.eta),
+                mask is not None, uc_type, features_adapter is not None,
+            )
+            fn = self._sample_cache.get(static)
+            if fn is None:
+                unet, ck = self.unet, self.cfg.conditioning_key
+                inpaint = "lvdm_static" if mask is not None else "initial_only"
+
+                def f(params, key, cond, uncond, mask, source_latents, feats):
+                    from t2v.models.conditioning import (
+                        normalize_cond,
+                        route_conditioning,
+                    )
+
+                    def apply(x, t, ctx):
+                        c = normalize_cond(ck, ctx)
+                        x2, kw = route_conditioning(ck, x, c)
+                        return unet.apply(
+                            params, x2, t, kw["context"],
+                            features_adapter=feats, y=kw["y"],
+                        )
+
+                    return sample_loop(
+                        apply, self.schedule, steps=args.steps, shape=shape,
+                        cond=cond, uncond=uncond,
+                        guidance_scale=args.cfg_scale, eta=args.eta,
+                        sampler_name="DDIM", key=key, mask=mask,
+                        image_latents=source_latents, inpaint_mode=inpaint,
+                        cfg_combine_mode=uc_type,
+                    )
+
+                fn = jax.jit(f)
+                self._sample_cache[static] = fn
+            x0 = fn(
+                self.unet_params, key, cond, uncond, mask, source_latents,
+                features_adapter,
+            )
         else:
             x0 = sample_loop(
                 apply_fn,
