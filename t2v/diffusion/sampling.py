@@ -238,12 +238,12 @@ def _unipc_model_fn(apply_fn, cond, uncond, guidance_scale, p: unipc_mod.Plan):
     return model_fn
 
 
-def _scan_simple(
-    mod, p, x, apply_fn, cond, uncond, guidance_scale, key, eta,
-    mask, image_latents, inpaint_mode, schedule, callback, callback_interval,
-    cfg_combine_mode=None,
+def make_step_body(
+    mod, p, apply_fn, cond, uncond, guidance_scale, key, eta,
+    mask, image_latents, inpaint_mode, schedule, cfg_combine_mode=None,
 ):
-    """lax.scan driver for the single-state samplers (DDIM_Gaussian, DDIM)."""
+    """Build the per-step scan body(x, i) -> (x, None) shared by the
+    monolithic scan and the windowed (interrupt-capable) execution."""
     eps_fn = make_eps_fn(
         apply_fn, cond, uncond, guidance_scale, cfg_combine_mode or mod.CFG_COMBINE
     )
@@ -293,6 +293,36 @@ def _scan_simple(
             )
         return x, None
 
+    return body
+
+
+def run_window(body, x, start, n: int):
+    """Run steps [start, start+n) of a plan on state x. The offset rides in
+    the carry so every same-length window shares one jaxpr."""
+
+    def chunk_body(carry, j):
+        xc, off = carry
+        xc, _ = body(xc, off + j)
+        return (xc, off), None
+
+    (x, _), _ = jax.lax.scan(
+        chunk_body, (x, jnp.asarray(start, jnp.int32)), jnp.arange(n)
+    )
+    return x
+
+
+def _scan_simple(
+    mod, p, x, apply_fn, cond, uncond, guidance_scale, key, eta,
+    mask, image_latents, inpaint_mode, schedule, callback, callback_interval,
+    cfg_combine_mode=None,
+):
+    """lax.scan driver for the single-state samplers (DDIM_Gaussian, DDIM)."""
+    body = make_step_body(
+        mod, p, apply_fn, cond, uncond, guidance_scale, key, eta,
+        mask, image_latents, inpaint_mode, schedule, cfg_combine_mode,
+    )
+    steps = p.steps
+
     if callback is None or callback_interval is None:
         x, _ = jax.lax.scan(body, x, jnp.arange(steps))
         if callback is not None:
@@ -301,22 +331,52 @@ def _scan_simple(
 
     # chunked execution: return to host between chunks so a cooperative
     # interrupt (reference state.interrupted, samplers_common.py:48-52)
-    # can stop the loop. The step offset rides in the scan CARRY, not in the
-    # xs constants — every full chunk then shares one jaxpr, so the whole
-    # loop compiles at most two executables (full chunk + remainder)
-    # instead of one per offset.
-    def chunk_body(carry, j):
-        xc, off = carry
-        xc, _ = body(xc, off + j)
-        return (xc, off), None
-
+    # can stop the loop.
     done = 0
     while done < steps:
         n = min(callback_interval, steps - done)
-        (x, _), _ = jax.lax.scan(
-            chunk_body, (x, jnp.asarray(done, jnp.int32)), jnp.arange(n)
-        )
+        x = run_window(body, x, done, n)
         x.block_until_ready()
         done += n
         callback(done)  # raises to interrupt
     return x
+
+
+def plan_and_start(
+    schedule: DiffusionSchedule,
+    *,
+    steps: int,
+    shape: tuple[int, ...],
+    eta: float = 0.0,
+    sampler_name: str = "DDIM_Gaussian",
+    key: jax.Array | None = None,
+    noise=None,
+    latents=None,
+    is_vid2vid: bool = False,
+    strength: float = 1.0,
+    dtype=jnp.float32,
+):
+    """The pre-loop part of ``sample_loop``: resolve the sampler module,
+    build its plan (truncated for vid2vid), and produce the starting state.
+    Lets callers drive the step loop themselves via ``make_step_body`` +
+    ``run_window`` (e.g. jitted windows with params as a real argument)."""
+    spec = get_sampler(sampler_name)
+    mod = spec.module
+    if mod is unipc_mod:
+        raise ValueError("windowed execution does not support UniPC")
+    if key is None:
+        key = rng_lib.key_for_seed(0)
+    if noise is None:
+        noise = rng_lib.latent_noise(key, shape, dtype)
+    if latents is not None and is_vid2vid:
+        if mod is ddim_mod:
+            p_full = ddim_mod.plan(schedule, steps, eta)
+            t_enc = int(strength * steps)
+            x = ddim_mod.stochastic_encode(p_full, latents, noise, t_enc)
+            return mod, ddim_mod.truncate_for_vid2vid(p_full, t_enc), x.astype(jnp.float32)
+        x = mod.encode_vid2vid(schedule, latents, noise, strength, steps)
+    elif latents is not None:
+        x = latents
+    else:
+        x = noise
+    return mod, mod.plan(schedule, steps, eta), x.astype(jnp.float32)

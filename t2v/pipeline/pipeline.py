@@ -367,31 +367,74 @@ class ModelScopePipeline:
                 self.unet_params, key, conditioning.cond, conditioning.uncond,
                 latents, mask,
             )
-        else:
-            # cooperative-interrupt chunked path (host callback between
-            # chunks) — closures capture params as constants here
+        elif args.sampler == "UniPC":
+            # UniPC's multistep state is not windowable; whole loop with a
+            # terminal callback
             def apply_fn(x, t, ctx):
                 return unet.apply(self.unet_params, x, t, ctx)
 
             x0 = sample_loop(
-                apply_fn,
-                self.schedule,
-                steps=steps,
-                shape=shape,
-                cond=conditioning.cond,
-                uncond=conditioning.uncond,
-                guidance_scale=args.cfg_scale,
-                eta=args.eta,
-                sampler_name=args.sampler,
-                key=key,
-                latents=latents,
-                is_vid2vid=is_vid2vid,
-                strength=args.strength,
-                mask=mask,
+                apply_fn, self.schedule, steps=steps, shape=shape,
+                cond=conditioning.cond, uncond=conditioning.uncond,
+                guidance_scale=args.cfg_scale, eta=args.eta,
+                sampler_name=args.sampler, key=key, latents=latents,
+                is_vid2vid=is_vid2vid, strength=args.strength, mask=mask,
                 inpaint_mode=inpaint_mode,
-                callback=callback,
-                callback_interval=callback_interval,
             )
+            callback(steps)
+        else:
+            # cooperative-interrupt windowed path: each window is a jitted
+            # executable taking params as a REAL argument; the host polls
+            # the interrupt between windows. Windowing also keeps each
+            # device execution short (long single executions can hit
+            # runtime execution limits at hi-res configs).
+            from t2v.diffusion.sampling import (
+                make_step_body,
+                plan_and_start,
+                run_window,
+            )
+
+            mod, p, x = plan_and_start(
+                self.schedule, steps=steps, shape=shape, eta=args.eta,
+                sampler_name=args.sampler, key=key, latents=latents,
+                is_vid2vid=is_vid2vid, strength=args.strength,
+            )
+            base_static = (
+                "window", steps, shape, args.sampler, float(args.cfg_scale),
+                float(args.eta), float(args.strength), is_vid2vid,
+                inpaint_mode, latents is not None, mask is not None,
+            )
+
+            def build_window(n):
+                def build():
+                    def f(params, x, start, cond, uncond, mask, wkey):
+                        def apply_fn(xx, tt, cc):
+                            return unet.apply(params, xx, tt, cc)
+
+                        body = make_step_body(
+                            mod, p, apply_fn, cond, uncond, args.cfg_scale,
+                            wkey, args.eta, mask, None, inpaint_mode,
+                            self.schedule,
+                        )
+                        return run_window(body, x, start, n)
+
+                    return jax.jit(f)
+
+                return build
+
+            done = 0
+            total = p.steps
+            while done < total:
+                n = min(callback_interval, total - done)
+                fn = self._sampler_fn(base_static + (n,), build_window(n))
+                x = fn(
+                    self.unet_params, x, done, conditioning.cond,
+                    conditioning.uncond, mask, key,
+                )
+                x.block_until_ready()
+                done += n
+                callback(done)  # raises to interrupt/skip
+            x0 = x
         x0.block_until_ready()
         t_sample = time.perf_counter() - t0
 
