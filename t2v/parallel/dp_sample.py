@@ -66,17 +66,31 @@ def dp_sample(
     mesh: Optional[Mesh] = None,
     callback=None,
     callback_interval=None,
+    shard_frames: bool = False,
 ):
     """Sample n videos in one sharded computation. Returns (n, F, H, W, C).
 
     With a mesh, noise is placed sharded over ``dp`` along the batch axis
     and the sharding propagates through the scan; without one it is a plain
     batched sample.
+
+    shard_frames=True additionally shards the FRAME axis over the mesh's
+    ``sp`` axis — the long-context configuration (SURVEY.md §5.7): spatial
+    convs/attention are frame-parallel so they partition cleanly, and XLA
+    inserts the all-gather that temporal attention needs over ICI. Use when
+    a video (125+ frames, hi-res) exceeds one chip's HBM.
     """
     noise = batched_noise(seed, n_samples, sample_shape)
     if mesh is not None:
-        spec = P("dp") if n_samples % mesh.shape["dp"] == 0 else P()
-        noise = jax.device_put(noise, NamedSharding(mesh, spec))
+        batch_ax = "dp" if n_samples % mesh.shape["dp"] == 0 else None
+        frame_ax = (
+            "sp"
+            if shard_frames
+            and mesh.shape.get("sp", 1) > 1
+            and sample_shape[0] % mesh.shape["sp"] == 0
+            else None
+        )
+        noise = jax.device_put(noise, NamedSharding(mesh, P(batch_ax, frame_ax)))
     cond_b = _tile_cond(cond, n_samples)
     uncond_b = _tile_cond(uncond, n_samples)
     x0 = sample_loop(

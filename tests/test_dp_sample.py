@@ -117,3 +117,34 @@ class TestMultihost:
         # 10 over 4 hosts: 3,3,2,2 contiguous and covering
         assert spans == [(0, 3), (3, 3), (6, 2), (8, 2)]
         assert sum(c for _, c in spans) == 10
+
+
+class TestFrameSharding:
+    def test_sp_sharded_matches_unsharded(self):
+        """Frame-axis (sp) sharding must be numerically transparent — XLA
+        inserts the temporal-attention all-gather (SURVEY §5.7)."""
+        import jax
+        from t2v.core.config import ModelScopeUNetConfig
+        from t2v.models.modelscope_unet import UNetSD
+
+        cfg = ModelScopeUNetConfig().tiny()
+        model = UNetSD(cfg=cfg)
+        x0 = jnp.zeros((1, 4, 8, 8, cfg.in_dim))
+        ctx = jnp.ones((1, 7, cfg.context_dim)) * 0.2
+        params = jax.jit(model.init)(jax.random.key(0), x0, jnp.zeros((1,)), ctx)
+        params = jax.tree.map(
+            lambda a: a + 0.01 if a.size and not np.asarray(a).any() else a, params
+        )
+
+        def apply_fn(x, t, c):
+            return model.apply(params, x, t, c)
+
+        sched = DiffusionSchedule.linear_sd(100)
+        mesh = make_mesh(MeshConfig(dp=1, sp=4), jax.devices()[:4])
+        kw = dict(
+            steps=4, sample_shape=(4, 8, 8, cfg.in_dim), n_samples=1,
+            cond=ctx, uncond=jnp.zeros_like(ctx), guidance_scale=3.0, seed=9,
+        )
+        ref = dp_sample(apply_fn, sched, **kw)
+        out = dp_sample(apply_fn, sched, mesh=mesh, shard_frames=True, **kw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
