@@ -96,6 +96,7 @@ def create_app(pipe=None, models_root: Optional[str] = None):
         prompt: str,
         n_prompt: Union[str, None] = None,
         model: Union[str, None] = None,
+        model_type: Union[str, None] = None,
         sampler: Union[str, None] = None,
         steps: Union[int, None] = None,
         frames: Union[int, None] = None,
@@ -120,7 +121,8 @@ def create_app(pipe=None, models_root: Optional[str] = None):
         overrides = {
             k: v
             for k, v in dict(
-                prompt=prompt, n_prompt=n_prompt, model=model, sampler=sampler,
+                prompt=prompt, n_prompt=n_prompt, model=model,
+                model_type=model_type, sampler=sampler,
                 steps=steps, frames=frames, seed=seed, cfg_scale=cfg_scale,
                 width=width, height=height, eta=eta, batch_count=batch_count,
                 do_vid2vid=do_vid2vid, strength=strength,

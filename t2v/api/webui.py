@@ -72,6 +72,8 @@ $('generate').onclick = async () => {
   for (const k of ['prompt','n_prompt','model','sampler','steps','frames',
                    'width','height','cfg_scale','seed','batch_count','fps'])
     q.set(k, $(k).value);
+  q.set('model_type',
+        $('model').value.includes('videocrafter') ? 'VideoCrafter' : 'ModelScope');
   try {
     const r = await fetch('/t2v/run?' + q.toString(), {method: 'POST'});
     const j = await r.json();

@@ -136,23 +136,31 @@ class WebVidDataset:
         DONE = object()
 
         def producer():
-            for _ in range(epochs):
-                order = self.rng.permutation(len(self.entries))
-                buf_frames, buf_caps = [], []
-                for i in order:
-                    sample = self[int(i)]
-                    if sample is None:
-                        continue
-                    buf_frames.append(sample.frames)
-                    buf_caps.append(sample.caption)
-                    if len(buf_frames) == batch_size:
-                        q.put((np.stack(buf_frames), buf_caps))
-                        buf_frames, buf_caps = [], []
-            q.put(DONE)
+            # any failure must still unblock the consumer: ship the
+            # exception through the queue instead of dying silently
+            try:
+                for _ in range(epochs):
+                    order = self.rng.permutation(len(self.entries))
+                    buf_frames, buf_caps = [], []
+                    for i in order:
+                        sample = self[int(i)]
+                        if sample is None:
+                            continue
+                        buf_frames.append(sample.frames)
+                        buf_caps.append(sample.caption)
+                        if len(buf_frames) == batch_size:
+                            q.put((np.stack(buf_frames), buf_caps))
+                            buf_frames, buf_caps = [], []
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
+            else:
+                q.put(DONE)
 
         threading.Thread(target=producer, daemon=True).start()
         while True:
             item = q.get()
             if item is DONE:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item

@@ -28,29 +28,20 @@ from t2v.diffusion.schedules import DiffusionSchedule
 _MODS = {"DDIM_Gaussian": gaussian_mod, "DDIM": ddim_mod}
 
 
-def sample_loop_deepcache(
-    apply_full,     # (x, t, ctx) -> (eps, deep_feature)
-    apply_cached,   # (x, t, ctx, deep_feature) -> eps
-    schedule: DiffusionSchedule,
-    *,
-    steps: int,
-    shape: tuple[int, ...],
-    cond,
-    uncond=None,
-    guidance_scale: float = 1.0,
-    eta: float = 0.0,
-    sampler_name: str = "DDIM_Gaussian",
-    key: jax.Array | None = None,
-    interval: int = 3,
-):
-    """Returns the final x0 latent, like sampling.sample_loop (txt2vid)."""
+def deepcache_plan(sampler_name: str, schedule: DiffusionSchedule, steps: int, eta: float):
+    """(mod, plan) for a DeepCache-capable sampler. plan.steps is the true
+    step count (plans may round up, e.g. DDIM with T % steps != 0)."""
     if sampler_name not in _MODS:
         raise ValueError(f"deepcache supports {list(_MODS)}, not {sampler_name}")
     mod = _MODS[sampler_name]
-    if key is None:
-        key = rng_lib.key_for_seed(0)
-    x = rng_lib.latent_noise(key, shape).astype(jnp.float32)
-    p = mod.plan(schedule, steps, eta)
+    return mod, mod.plan(schedule, steps, eta)
+
+
+def make_deepcache_body(
+    mod, p, apply_full, apply_cached, cond, uncond, guidance_scale, eta,
+    key, interval: int,
+):
+    """Scan body over carry (x, deep_feature)."""
     t_table = jnp.asarray(np.asarray(p.timesteps), jnp.float32)
     combine = mod.CFG_COMBINE
     do_cfg = uncond is not None and guidance_scale not in (None, 1)
@@ -75,11 +66,6 @@ def sample_loop_deepcache(
         u, y = jnp.split(out, 2, axis=0)
         return cfg_combine(y, u, guidance_scale, combine)
 
-    # deep-feature shape from an abstract full pass at step 0
-    x2, tt, cc = model_in(x, 0)
-    feat_aval = jax.eval_shape(apply_full, x2, tt, cc)[1]
-    feat0 = jnp.zeros(feat_aval.shape, feat_aval.dtype)
-
     def body(carry, i):
         xc, feat = carry
         x2, tt, cc = model_in(xc, i)
@@ -101,5 +87,60 @@ def sample_loop_deepcache(
         xc = mod.step(xc, eps, p, i, noise)
         return (xc, feat), None
 
-    (x, _), _ = jax.lax.scan(body, (x, feat0), jnp.arange(steps))
+    return body
+
+
+def deepcache_feat0(apply_full, x, cond, uncond, guidance_scale, t_example=0.0):
+    """Zero cache with the deep feature's shape, via an abstract full pass."""
+    do_cfg = uncond is not None and guidance_scale not in (None, 1)
+    b = x.shape[0] * (2 if do_cfg else 1)
+    x2 = jnp.concatenate([x, x], axis=0) if do_cfg else x
+    c = cond if cond.ndim == 3 else cond[0]
+    cc = jnp.concatenate([uncond if uncond.ndim == 3 else uncond[0], c], axis=0) if do_cfg else c
+    tt = jnp.full((b,), t_example, jnp.float32)
+    feat_aval = jax.eval_shape(apply_full, x2, tt, cc)[1]
+    return jnp.zeros(feat_aval.shape, feat_aval.dtype)
+
+
+def run_deepcache_window(body, x, feat, start, n: int):
+    """Run steps [start, start+n); offset rides in the carry so same-length
+    windows share one jaxpr (interrupt-capable execution)."""
+
+    def win_body(carry, j):
+        (xc, feat), off = carry
+        (xc, feat), _ = body((xc, feat), off + j)
+        return ((xc, feat), off), None
+
+    ((x, feat), _), _ = jax.lax.scan(
+        win_body, ((x, feat), jnp.asarray(start, jnp.int32)), jnp.arange(n)
+    )
+    return x, feat
+
+
+def sample_loop_deepcache(
+    apply_full,     # (x, t, ctx) -> (eps, deep_feature)
+    apply_cached,   # (x, t, ctx, deep_feature) -> eps
+    schedule: DiffusionSchedule,
+    *,
+    steps: int,
+    shape: tuple[int, ...],
+    cond,
+    uncond=None,
+    guidance_scale: float = 1.0,
+    eta: float = 0.0,
+    sampler_name: str = "DDIM_Gaussian",
+    key: jax.Array | None = None,
+    interval: int = 3,
+):
+    """Returns the final x0 latent, like sampling.sample_loop (txt2vid)."""
+    if key is None:
+        key = rng_lib.key_for_seed(0)
+    mod, p = deepcache_plan(sampler_name, schedule, steps, eta)
+    x = rng_lib.latent_noise(key, shape).astype(jnp.float32)
+    body = make_deepcache_body(
+        mod, p, apply_full, apply_cached, cond, uncond, guidance_scale, eta,
+        key, interval,
+    )
+    feat0 = deepcache_feat0(apply_full, x, cond, uncond, guidance_scale)
+    (x, _), _ = jax.lax.scan(body, (x, feat0), jnp.arange(p.steps))
     return x

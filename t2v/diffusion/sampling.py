@@ -188,35 +188,25 @@ def sample_loop(
     if noise is None:
         noise = rng_lib.latent_noise(key, shape, dtype)
 
-    # ---- choose starting point -------------------------------------------
-    if latents is not None and is_vid2vid:
-        if mod is ddim_mod:
-            p_full = ddim_mod.plan(schedule, steps, eta)
-            t_enc = int(strength * steps)
-            x = ddim_mod.stochastic_encode(p_full, latents, noise, t_enc)
-            x = x.astype(jnp.float32)
-            p = ddim_mod.truncate_for_vid2vid(p_full, t_enc)
-            return _scan_simple(
-                mod, p, x, apply_fn, cond, uncond, guidance_scale, key,
-                eta, mask, image_latents, inpaint_mode, schedule, callback,
-                callback_interval, cfg_combine_mode,
-            )
-        x = mod.encode_vid2vid(schedule, latents, noise, strength, steps)
-    elif latents is not None:
-        x = latents  # img2vid inpainting: pre-masked latents are the start
-    else:
-        x = noise
-
-    # sampler state is always fp32; the model policy casts at its boundary
-    x = x.astype(jnp.float32)
-
     if mod is unipc_mod:
+        # UniPC has its own multistep loop; start-state logic below
+        if latents is not None and is_vid2vid:
+            x = mod.encode_vid2vid(schedule, latents, noise, strength, steps)
+        elif latents is not None:
+            x = latents
+        else:
+            x = noise
+        x = x.astype(jnp.float32)
         t_start = strength if (is_vid2vid and strength is not None) else None
         p = unipc_mod.plan(schedule, steps, t_start=t_start)
         model_fn = _unipc_model_fn(apply_fn, cond, uncond, guidance_scale, p)
         return unipc_mod.sample(x, model_fn, p)
 
-    p = mod.plan(schedule, steps, eta)
+    mod, p, x = plan_and_start(
+        schedule, steps=steps, shape=shape, eta=eta,
+        sampler_name=sampler_name, key=key, noise=noise, latents=latents,
+        is_vid2vid=is_vid2vid, strength=strength, dtype=dtype,
+    )
     return _scan_simple(
         mod, p, x, apply_fn, cond, uncond, guidance_scale, key, eta,
         mask, image_latents, inpaint_mode, schedule, callback,
@@ -285,10 +275,11 @@ def make_step_body(
                 jax.random.fold_in(inpaint_key, i),
             )
         elif lvdm_static:
-            # blend at the post-step noise level (reference's t = step-1)
-            t_next = jnp.where(i + 1 < steps, t_int[jnp.minimum(i + 1, steps - 1)], 0)
+            # reference blends at t = step-1 where step is the CURRENT
+            # timestep value (lvdm ddim.py:193)
+            t_blend = jnp.maximum(t_int[i] - 1, 0)
             x = _lvdm_mask_blend(
-                x, mask, image_latents, sched_tables, t_next,
+                x, mask, image_latents, sched_tables, t_blend,
                 jax.random.fold_in(inpaint_key, i),
             )
         return x, None

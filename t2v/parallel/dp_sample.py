@@ -42,6 +42,19 @@ def batched_noise(seed: int, n: int, sample_shape: tuple[int, ...], dtype=jnp.fl
     return jnp.concatenate(rows, axis=0)
 
 
+def dp_spec(mesh: Mesh, n_samples: int, sample_shape, shard_frames: bool = False) -> P:
+    """PartitionSpec for the (n, F, ...) noise/latents."""
+    batch_ax = "dp" if n_samples % mesh.shape["dp"] == 0 else None
+    frame_ax = (
+        "sp"
+        if shard_frames
+        and mesh.shape.get("sp", 1) > 1
+        and sample_shape[0] % mesh.shape["sp"] == 0
+        else None
+    )
+    return P(batch_ax, frame_ax)
+
+
 def _tile_cond(c, n: int):
     """Tile the batch axis (third-from-last: (B, L, D) or (S, B, L, D))."""
     if c is None:
@@ -67,6 +80,7 @@ def dp_sample(
     callback=None,
     callback_interval=None,
     shard_frames: bool = False,
+    noise=None,  # precomputed (n, *sample_shape) noise (already placed)
 ):
     """Sample n videos in one sharded computation. Returns (n, F, H, W, C).
 
@@ -80,17 +94,11 @@ def dp_sample(
     inserts the all-gather that temporal attention needs over ICI. Use when
     a video (125+ frames, hi-res) exceeds one chip's HBM.
     """
-    noise = batched_noise(seed, n_samples, sample_shape)
-    if mesh is not None:
-        batch_ax = "dp" if n_samples % mesh.shape["dp"] == 0 else None
-        frame_ax = (
-            "sp"
-            if shard_frames
-            and mesh.shape.get("sp", 1) > 1
-            and sample_shape[0] % mesh.shape["sp"] == 0
-            else None
-        )
-        noise = jax.device_put(noise, NamedSharding(mesh, P(batch_ax, frame_ax)))
+    if noise is None:
+        noise = batched_noise(seed, n_samples, sample_shape)
+        if mesh is not None:
+            noise = jax.device_put(noise, NamedSharding(mesh, dp_spec(
+                mesh, n_samples, sample_shape, shard_frames)))
     cond_b = _tile_cond(cond, n_samples)
     uncond_b = _tile_cond(uncond, n_samples)
     x0 = sample_loop(

@@ -148,9 +148,9 @@ def make_lora_train_step(
     tables = schedule_tables(schedule)
     base_params = jax.device_put(base_params, param_sharding_rules(base_params, mesh))
 
-    def step(state: TrainState, batch, key):
+    def step(state: TrainState, batch, key, base):
         def loss_fn(lora):
-            merged = apply_lora(base_params, lora, module_index, alpha)
+            merged = apply_lora(base, lora, module_index, alpha)
             return diffusion_loss(apply_fn, merged, tables, batch, key)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -158,7 +158,7 @@ def make_lora_train_step(
         lora = optax.apply_updates(state.params, updates)
         return TrainState(lora, opt_state, state.step + 1, state.ema_params), loss
 
-    def sharded_step(state, batch, key):
+    def sharded_step(state, batch, key, base):
         batch = {
             "latents": jax.lax.with_sharding_constraint(
                 batch["latents"], NamedSharding(mesh, activation_spec(mesh))
@@ -167,9 +167,12 @@ def make_lora_train_step(
                 batch["context"], NamedSharding(mesh, P("dp", None, None))
             ),
         }
-        return step(state, batch, key)
+        return step(state, batch, key, base)
 
-    return jax.jit(sharded_step, donate_argnums=(0,))
+    # base params ride as a (non-donated) argument — closing over them would
+    # bake the full frozen model into the executable as jaxpr constants
+    jitted = jax.jit(sharded_step, donate_argnums=(0,))
+    return lambda state, batch, key: jitted(state, batch, key, base_params)
 
 
 jax.tree_util.register_dataclass(

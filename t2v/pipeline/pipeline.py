@@ -317,14 +317,10 @@ class ModelScopePipeline:
             and mask is None
             and args.sampler in ("DDIM_Gaussian", "DDIM")
         ):
-            x0 = self._sampler_fn(
-                ("deepcache", steps, shape, args.sampler, args.cfg_scale,
-                 args.eta, deep_cache_interval),
-                self._build_deepcache_fn(
-                    steps, shape, args.sampler, args.cfg_scale, args.eta,
-                    deep_cache_interval,
-                ),
-            )(self.unet_params, key, conditioning.cond, conditioning.uncond)
+            x0 = self._infer_deepcache(
+                steps, shape, args, key, conditioning, deep_cache_interval,
+                callback, callback_interval,
+            )
             x0.block_until_ready()
             t_sample = time.perf_counter() - t0
             t0 = time.perf_counter()
@@ -458,29 +454,80 @@ class ModelScopePipeline:
             self._sample_cache[static_key] = fn
         return fn
 
-    def _build_deepcache_fn(self, steps, shape, sampler, cfg_scale, eta, interval):
+    def _infer_deepcache(
+        self, steps, shape, args, key, conditioning, interval,
+        callback, callback_interval,
+    ):
+        """DeepCache sampling; with a callback, runs in jitted windows
+        (params as a real argument) polling interrupt between windows."""
+        from t2v.diffusion import deepcache as dc
+
         unet, schedule = self.unet, self.schedule
+        cond, uncond = conditioning.cond, conditioning.uncond
+        base_static = (
+            "deepcache", steps, shape, args.sampler, float(args.cfg_scale),
+            float(args.eta), interval,
+        )
 
-        def build():
-            from t2v.diffusion.deepcache import sample_loop_deepcache
+        def make_applies(params):
+            def apply_full(x, t, ctx):
+                return unet.apply(params, x, t, ctx, return_deep=True)
 
-            def f(params, key, cond, uncond):
-                def apply_full(x, t, ctx):
-                    return unet.apply(params, x, t, ctx, return_deep=True)
+            def apply_cached(x, t, ctx, feat):
+                return unet.apply(params, x, t, ctx, deep_feature=feat)
 
-                def apply_cached(x, t, ctx, feat):
-                    return unet.apply(params, x, t, ctx, deep_feature=feat)
+            return apply_full, apply_cached
 
-                return sample_loop_deepcache(
-                    apply_full, apply_cached, schedule, steps=steps,
-                    shape=shape, cond=cond, uncond=uncond,
-                    guidance_scale=cfg_scale, eta=eta, sampler_name=sampler,
-                    key=key, interval=interval,
-                )
+        if callback is None or callback_interval is None:
+            def build():
+                def f(params, key, cond, uncond):
+                    apply_full, apply_cached = make_applies(params)
+                    return dc.sample_loop_deepcache(
+                        apply_full, apply_cached, schedule, steps=steps,
+                        shape=shape, cond=cond, uncond=uncond,
+                        guidance_scale=args.cfg_scale, eta=args.eta,
+                        sampler_name=args.sampler, key=key, interval=interval,
+                    )
 
-            return jax.jit(f)
+                return jax.jit(f)
 
-        return build
+            return self._sampler_fn(base_static, build)(
+                self.unet_params, key, cond, uncond
+            )
+
+        # windowed, interrupt-capable
+        mod, p = dc.deepcache_plan(args.sampler, schedule, steps, args.eta)
+        from t2v.core import rng as rng_lib
+
+        x = rng_lib.latent_noise(key, shape).astype(jnp.float32)
+        apply_full_host, _ = make_applies(self.unet_params)
+        feat = dc.deepcache_feat0(
+            apply_full_host, x, cond, uncond, args.cfg_scale
+        )
+
+        def build_window(n):
+            def build():
+                def f(params, x, feat, start, cond, uncond, wkey):
+                    apply_full, apply_cached = make_applies(params)
+                    body = dc.make_deepcache_body(
+                        mod, p, apply_full, apply_cached, cond, uncond,
+                        args.cfg_scale, args.eta, wkey, interval,
+                    )
+                    return dc.run_deepcache_window(body, x, feat, start, n)
+
+                return jax.jit(f)
+
+            return build
+
+        done = 0
+        while done < p.steps:
+            n = min(callback_interval, p.steps - done)
+            fn = self._sampler_fn(base_static + ("win", n), build_window(n))
+            x, feat = fn(self.unet_params, x, feat, done, cond, uncond, key)
+            x.block_until_ready()
+            done += n
+            callback(done)
+        return x
 
     def create_infotext(self, args: T2VArgs, seed: int) -> str:
         """Generation-parameter provenance string

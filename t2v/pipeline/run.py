@@ -112,7 +112,9 @@ def run(
     sanity_check_args(args)
 
     if pipe is None:
-        if args.model_type == "VideoCrafter":
+        # '<videocrafter>' implies the family even when model_type was not
+        # set explicitly (the UI/API may pass only the model selector)
+        if args.model_type == "VideoCrafter" or args.model == "<videocrafter>":
             from t2v.pipeline.videocrafter import VideoCrafterPipeline
 
             model_dir = _resolve_model_dir(
@@ -179,7 +181,7 @@ def run(
     ):
         return _run_dp(
             pipe, args, out_args, outdir, resolved_seed, timestring,
-            save_frames, dp_shards, features_adapter,
+            save_frames, dp_shards, features_adapter, job_state,
         )
 
     for batch in range(args.batch_count):
@@ -282,16 +284,21 @@ def _emit_batch(
 
 def _run_dp(
     pipe, args, out_args, outdir, resolved_seed, timestring, save_frames,
-    dp_shards, features_adapter,
+    dp_shards, features_adapter, job_state=None,
 ) -> RunResult:
     """All batch_count samples in one dp-sharded computation
-    (t2v/parallel/dp_sample.py; reference DDP semantics)."""
+    (t2v/parallel/dp_sample.py; reference DDP semantics). The sampling is
+    ONE device computation, so interrupt granularity is coarser than the
+    serial loop: progress updates on completion, and interrupt/skip is
+    honoured between the per-sample decodes."""
     from t2v.parallel.dp_sample import dp_sample
     from t2v.parallel.mesh import MeshConfig, make_mesh
 
     import jax
 
     n = args.batch_count
+    if job_state is not None:
+        job_state.begin_job(0, n, args.steps)
     mesh = None
     if dp_shards > 1 and len(jax.devices()) >= dp_shards:
         mesh = make_mesh(MeshConfig(dp=dp_shards), jax.devices()[:dp_shards])
@@ -310,29 +317,63 @@ def _run_dp(
         uncond = pipe.encode_text([args.n_prompt])
         sampler = "DDIM"
 
-    apply_fn = (
-        pipe.make_apply_fn(features_adapter=features_adapter)
-        if not isinstance(pipe, ModelScopePipeline)
-        else pipe.make_apply_fn()
-    )
-    x0 = dp_sample(
-        apply_fn,
-        pipe.schedule,
-        steps=args.steps,
-        sample_shape=sample_shape,
-        n_samples=n,
-        cond=cond,
-        uncond=uncond,
-        guidance_scale=args.cfg_scale,
-        eta=args.eta,
-        sampler_name=sampler,
-        seed=resolved_seed,
-        mesh=mesh,
-    )
+    is_ms = isinstance(pipe, ModelScopePipeline)
+    static = ("dp", n, args.steps, sample_shape, sampler,
+              float(args.cfg_scale), float(args.eta), dp_shards)
+    fn = pipe._sample_cache.get(static)
+    if fn is None:
+        unet = pipe.unet
+
+        def f(params, cond, uncond, noise):
+            if is_ms:
+                def apply_fn(x, t, c):
+                    return unet.apply(params, x, t, c)
+            else:
+                ck = pipe.cfg.conditioning_key
+                from t2v.models.conditioning import (
+                    normalize_cond,
+                    route_conditioning,
+                )
+
+                def apply_fn(x, t, c):
+                    cd = normalize_cond(ck, c)
+                    x2, kw = route_conditioning(ck, x, cd)
+                    return unet.apply(
+                        params, x2, t, kw["context"],
+                        features_adapter=features_adapter, y=kw["y"],
+                    )
+
+            return dp_sample(
+                apply_fn, pipe.schedule, steps=args.steps,
+                sample_shape=sample_shape, n_samples=n, cond=cond,
+                uncond=uncond, guidance_scale=args.cfg_scale, eta=args.eta,
+                sampler_name=sampler, mesh=mesh, noise=noise,
+            )
+
+        fn = jax.jit(f)
+        pipe._sample_cache[static] = fn
+    from t2v.parallel.dp_sample import batched_noise, dp_spec
+
+    noise = batched_noise(resolved_seed, n, sample_shape)
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+
+        noise = jax.device_put(
+            noise, NamedSharding(mesh, dp_spec(mesh, n, sample_shape))
+        )
+    x0 = fn(pipe.unet_params, cond, uncond, noise)
     x0.block_until_ready()
+    if job_state is not None:
+        job_state.sampling_step = args.steps
 
     result = RunResult()
     for batch in range(n):
+        if job_state is not None and job_state.interrupted:
+            result.interrupted = True
+            break
+        if job_state is not None and job_state.skipped:
+            job_state.skipped = False
+            continue
         frames = pipe.decode_latents(x0[batch])
         infotext = pipe.create_infotext(args, resolved_seed + batch)
         _emit_batch(

@@ -56,6 +56,7 @@ class VideoCrafterPipeline:
     tokenizer: Optional[CLIPTokenizer]
     schedule: DiffusionSchedule
     _decode_fn: Any = field(default=None, repr=False)
+    _encode_fn: Any = field(default=None, repr=False)
     _sample_cache: dict = field(default_factory=dict, repr=False)
 
     @classmethod
@@ -310,24 +311,69 @@ class VideoCrafterPipeline:
                 features_adapter,
             )
         else:
-            x0 = sample_loop(
-                apply_fn,
-                self.schedule,
-                steps=args.steps,
-                shape=shape,
-                cond=cond,
-                uncond=uncond,
-                guidance_scale=args.cfg_scale,
-                eta=args.eta,
-                sampler_name="DDIM",  # LVDM samples with its DDIM (ddim.py)
-                key=key,
-                callback=callback,
-                callback_interval=callback_interval,
-                mask=mask,
-                image_latents=source_latents,
-                inpaint_mode="lvdm_static" if mask is not None else "initial_only",
-                cfg_combine_mode=uc_type,
+            # windowed interrupt-capable path, params as a jit argument
+            # (mirrors ModelScopePipeline.infer)
+            from t2v.diffusion.sampling import (
+                make_step_body,
+                plan_and_start,
+                run_window,
             )
+
+            inpaint = "lvdm_static" if mask is not None else "initial_only"
+            mod, p, x = plan_and_start(
+                self.schedule, steps=args.steps, shape=shape, eta=args.eta,
+                sampler_name="DDIM", key=key,
+            )
+            unet, ck = self.unet, self.cfg.conditioning_key
+            base_static = (
+                "window", args.steps, shape, float(args.cfg_scale),
+                float(args.eta), inpaint, uc_type,
+                mask is not None, features_adapter is not None,
+            )
+
+            def build_window(n):
+                def build():
+                    def f(params, x, start, cond, uncond, mask, src, feats, wkey):
+                        from t2v.models.conditioning import (
+                            normalize_cond,
+                            route_conditioning,
+                        )
+
+                        def apply(xx, tt, cc):
+                            c = normalize_cond(ck, cc)
+                            x2, kw = route_conditioning(ck, xx, c)
+                            return unet.apply(
+                                params, x2, tt, kw["context"],
+                                features_adapter=feats, y=kw["y"],
+                            )
+
+                        body = make_step_body(
+                            mod, p, apply, cond, uncond, args.cfg_scale,
+                            wkey, args.eta, mask, src, inpaint,
+                            self.schedule, uc_type,
+                        )
+                        return run_window(body, x, start, n)
+
+                    return jax.jit(f)
+
+                return build
+
+            done = 0
+            while done < p.steps:
+                n = min(callback_interval, p.steps - done)
+                fkey = base_static + (n,)
+                fn = self._sample_cache.get(fkey)
+                if fn is None:
+                    fn = build_window(n)()
+                    self._sample_cache[fkey] = fn
+                x = fn(
+                    self.unet_params, x, done, cond, uncond, mask,
+                    source_latents, features_adapter, key,
+                )
+                x.block_until_ready()
+                done += n
+                callback(done)
+            x0 = x
         x0.block_until_ready()
         t_sample = time.perf_counter() - t0
 
@@ -348,16 +394,18 @@ class VideoCrafterPipeline:
         """(F, H, W, 3) float in [-1,1] → (1, F, h, w, 4) scaled latents —
         the LVDM 2D frame-batched encode (ddpm3d.py:769-819), posterior
         mean × scale_factor."""
-        vae, vp = self.vae, self.vae_params
+        if self._encode_fn is None:
+            vae = self.vae
 
-        @jax.jit
-        def enc(p, z):
-            return vae.apply(p, z, method=AutoencoderKL.encode)
+            @jax.jit
+            def enc(p, z):
+                return vae.apply(p, z, method=AutoencoderKL.encode)
 
+            self._encode_fn = enc
         x = jnp.asarray(frames_rgb, jnp.float32)
         chunks = []
         for i in range(0, x.shape[0], DECODE_CHUNK):
-            mean, _ = enc(vp, x[i : i + DECODE_CHUNK])
+            mean, _ = self._encode_fn(self.vae_params, x[i : i + DECODE_CHUNK])
             chunks.append(mean.astype(jnp.float32) * self.cfg.scale_factor)
         return jnp.concatenate(chunks, axis=0)[None]
 
