@@ -250,3 +250,63 @@ class TestLVDMMaskAndUcType:
         lat_out = np.asarray(res.latents[0])
         # mask==1 everywhere -> final latent == q_sample(src, t=0) ~= src
         assert abs(lat_out.mean() - 0.5) < 0.1
+
+
+class TestTemporalAttentionParity:
+    def test_relative_position_attention_matches_torch(self, rng):
+        """Numerical parity of TemporalCrossAttention (incl. relative
+        position score/value bias) vs a torch recompute of
+        attention_temporal.py:107-144."""
+        import torch
+
+        from t2v.models.videocrafter_unet import TemporalCrossAttention
+
+        dim, heads, dim_head, T, B = 16, 2, 8, 5, 3
+        m = TemporalCrossAttention(
+            query_dim=dim, heads=heads, dim_head=dim_head,
+            temporal_length=T, use_relative_position=True,
+        )
+        x = rng.normal(size=(B, T, dim)).astype(np.float32)
+        params = jax.jit(m.init)(jax.random.key(0), jnp.asarray(x))
+
+        inner = heads * dim_head
+        r = lambda *s: rng.normal(size=s).astype(np.float32) * 0.2
+        wq, wk, wv = r(inner, dim), r(inner, dim), r(inner, dim)
+        wo, bo = r(dim, inner), r(dim)
+        tk, tv = r(2 * T + 1, dim_head), r(2 * T + 1, dim_head)
+        p = dict(params["params"])
+        p["to_q"] = {"kernel": jnp.asarray(wq.T)}
+        p["to_k"] = {"kernel": jnp.asarray(wk.T)}
+        p["to_v"] = {"kernel": jnp.asarray(wv.T)}
+        p["to_out"] = {"kernel": jnp.asarray(wo.T), "bias": jnp.asarray(bo)}
+        p["relative_position_k"] = {"embeddings_table": jnp.asarray(tk)}
+        p["relative_position_v"] = {"embeddings_table": jnp.asarray(tv)}
+        ours = np.asarray(m.apply({"params": p}, jnp.asarray(x)))
+
+        # torch recompute (independent; mirrors the reference math)
+        xt = torch.from_numpy(x)
+        q = xt @ torch.from_numpy(wq).T
+        k = xt @ torch.from_numpy(wk).T
+        v = xt @ torch.from_numpy(wv).T
+        fold = lambda t: (
+            t.reshape(B, T, heads, dim_head).permute(0, 2, 1, 3)
+            .reshape(B * heads, T, dim_head)
+        )
+        q, k, v = fold(q), fold(k), fold(v)
+        scale = dim_head ** -0.5
+        sim = torch.einsum("bid,bjd->bij", q, k) * scale
+        idx = torch.clamp(
+            torch.arange(T)[None, :] - torch.arange(T)[:, None], -T, T
+        ) + T
+        k2 = torch.from_numpy(tk)[idx]
+        sim = sim + torch.einsum("btd,tsd->bts", q, k2) * scale
+        attn = sim.softmax(dim=-1)
+        out = torch.einsum("bij,bjd->bid", attn, v)
+        v2 = torch.from_numpy(tv)[idx]
+        out = out + torch.einsum("bts,tsd->btd", attn, v2)
+        out = (
+            out.reshape(B, heads, T, dim_head).permute(0, 2, 1, 3)
+            .reshape(B, T, inner)
+        )
+        theirs = (out @ torch.from_numpy(wo).T + torch.from_numpy(bo)).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
