@@ -364,18 +364,33 @@ class ModelScopePipeline:
                 latents, mask,
             )
         elif args.sampler == "UniPC":
-            # UniPC's multistep state is not windowable; whole loop with a
-            # terminal callback
-            def apply_fn(x, t, ctx):
-                return unet.apply(self.unet_params, x, t, ctx)
+            # UniPC's multistep history is not windowed (yet); whole jitted
+            # loop with params as argument and a terminal callback
+            static = (
+                "unipc", steps, shape, float(args.cfg_scale),
+                float(args.eta), float(args.strength), is_vid2vid,
+                inpaint_mode, latents is not None, mask is not None,
+            )
 
-            x0 = sample_loop(
-                apply_fn, self.schedule, steps=steps, shape=shape,
-                cond=conditioning.cond, uncond=conditioning.uncond,
-                guidance_scale=args.cfg_scale, eta=args.eta,
-                sampler_name=args.sampler, key=key, latents=latents,
-                is_vid2vid=is_vid2vid, strength=args.strength, mask=mask,
-                inpaint_mode=inpaint_mode,
+            def build():
+                def f(params, key, cond, uncond, latents, mask):
+                    def apply_fn(x, t, ctx):
+                        return unet.apply(params, x, t, ctx)
+
+                    return sample_loop(
+                        apply_fn, self.schedule, steps=steps, shape=shape,
+                        cond=cond, uncond=uncond,
+                        guidance_scale=args.cfg_scale, eta=args.eta,
+                        sampler_name=args.sampler, key=key, latents=latents,
+                        is_vid2vid=is_vid2vid, strength=args.strength,
+                        mask=mask, inpaint_mode=inpaint_mode,
+                    )
+
+                return jax.jit(f)
+
+            x0 = self._sampler_fn(static, build)(
+                self.unet_params, key, conditioning.cond, conditioning.uncond,
+                latents, mask,
             )
             callback(steps)
         else:
