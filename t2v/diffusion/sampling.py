@@ -138,7 +138,10 @@ def _inpaint_blend(x, step, steps, mask, image_latents, schedule_tables, t_cur, 
     binary = (mask > v).astype(x.dtype)
     noise = jax.random.normal(key, x.shape, x.dtype)
     renoised = sqrt_a[t_cur] * image_latents + sqrt_1ma[t_cur] * noise
-    return renoised * (1.0 - binary) + x * binary
+    blended = renoised * (1.0 - binary) + x * binary
+    # no blend on the final step (reference guard, samplers_common.py:18) —
+    # re-noised regions would otherwise survive into the output
+    return jnp.where(step < steps - 1, blended, x)
 
 
 def _lvdm_mask_blend(x, mask, image_latents, schedule_tables, t_next, key):
@@ -200,7 +203,10 @@ def sample_loop(
         t_start = strength if (is_vid2vid and strength is not None) else None
         p = unipc_mod.plan(schedule, steps, t_start=t_start)
         model_fn = _unipc_model_fn(apply_fn, cond, uncond, guidance_scale, p)
-        return unipc_mod.sample(x, model_fn, p)
+        out = unipc_mod.sample(x, model_fn, p)
+        if callback is not None:
+            callback(steps)  # terminal progress like the other samplers
+        return out
 
     mod, p, x = plan_and_start(
         schedule, steps=steps, shape=shape, eta=eta,

@@ -140,6 +140,11 @@ def modelscope_timesteps(num_timesteps: int, steps: int) -> np.ndarray:
     uses entries [0, steps) of the flipped ladder. Returns the ``steps``
     timesteps actually visited, descending.
     """
+    if steps > num_timesteps:
+        raise ValueError(
+            f"steps ({steps}) cannot exceed the schedule's num_timesteps "
+            f"({num_timesteps})"
+        )
     stride = num_timesteps // steps
     ladder = 1 + np.arange(0, num_timesteps, stride)
     ladder = np.clip(ladder, 0, num_timesteps - 1)
@@ -153,6 +158,11 @@ def make_ddim_timesteps(
 ) -> np.ndarray:
     """SD-style DDIM timestep subset (ascending), ldm util semantics:
     uniform: arange(0, steps) * (T // steps) + 1."""
+    if num_ddim_timesteps > num_ddpm_timesteps:
+        raise ValueError(
+            f"steps ({num_ddim_timesteps}) cannot exceed the schedule's "
+            f"num_timesteps ({num_ddpm_timesteps})"
+        )
     if discr_method == "uniform":
         c = num_ddpm_timesteps // num_ddim_timesteps
         ddim_timesteps = np.asarray(list(range(0, num_ddpm_timesteps, c)))

@@ -17,7 +17,7 @@ from typing import Any, Mapping
 
 import numpy as np
 
-from t2v.io.convert import _norm
+from t2v.io.convert import _conv3d, _gn32, _linear, _norm
 from t2v.models.videocrafter_unet import (
     VCBlockDesc,
     VideoCrafterUNetConfig,
@@ -44,30 +44,12 @@ def split_lightning_state_dict(ckpt: Mapping[str, Any]) -> dict[str, dict[str, A
     return out
 
 
-def _linear(sd: SD, p: str, bias: bool = True) -> dict:
-    out = {"kernel": np.ascontiguousarray(sd[f"{p}.weight"].T)}
-    if bias:
-        out["bias"] = sd[f"{p}.bias"]
-    return out
-
-
-def _conv3d(sd: SD, p: str) -> dict:
-    return {
-        "kernel": np.ascontiguousarray(sd[f"{p}.weight"].transpose(2, 3, 4, 1, 0)),
-        "bias": sd[f"{p}.bias"],
-    }
-
-
 def _conv3d_k1_as_dense(sd: SD, p: str) -> dict:
     w = sd[f"{p}.weight"]
     return {
         "kernel": np.ascontiguousarray(w[:, :, 0, 0, 0].T),
         "bias": sd[f"{p}.bias"],
     }
-
-
-def _gn32(sd: SD, p: str) -> dict:
-    return {"GroupNorm_0": _norm(sd, p)}
 
 
 def _attn(sd: SD, p: str) -> dict:

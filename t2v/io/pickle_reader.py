@@ -118,7 +118,28 @@ class _RestrictedUnpickler(pickle.Unpickler):
 def _materialise(stub: _TensorStub, raw: bytes) -> np.ndarray:
     base = np.frombuffer(raw, dtype=stub.storage.dtype)
     if not stub.shape:
+        if not 0 <= stub.offset < base.size:
+            raise ValueError("tensor offset out of storage bounds")
         return base[stub.offset].copy()
+    # bound-check before as_strided: a crafted shape/stride/offset must not
+    # read outside the storage buffer (the restricted unpickler's threat
+    # model extends to tensor metadata)
+    max_index = stub.offset + sum(
+        (dim - 1) * st for dim, st in zip(stub.shape, stub.stride) if dim > 0
+    )
+    numel = 1
+    for dim in stub.shape:
+        numel *= dim
+    if (
+        stub.offset < 0
+        or any(d < 0 for d in stub.shape)
+        or any(s < 0 for s in stub.stride)
+        or (numel > 0 and max_index >= base.size)
+    ):
+        raise ValueError(
+            f"tensor view out of storage bounds: offset={stub.offset} "
+            f"shape={stub.shape} stride={stub.stride} storage={base.size}"
+        )
     arr = np.lib.stride_tricks.as_strided(
         base[stub.offset :],
         shape=stub.shape,

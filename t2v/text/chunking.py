@@ -38,13 +38,6 @@ class PromptChunk:
     fixes: list[tuple[int, np.ndarray]] = field(default_factory=list)
 
 
-def empty_chunk(bos: int, eos: int) -> PromptChunk:
-    return PromptChunk(
-        tokens=[bos] + [eos] * (CHUNK_LENGTH + 1),
-        multipliers=[1.0] * (CHUNK_LENGTH + 2),
-    )
-
-
 def tokenize_line(
     line: str,
     tokenizer: CLIPTokenizer,

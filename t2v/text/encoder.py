@@ -35,10 +35,12 @@ class EmbeddingDB:
     def __init__(self, tokenizer: CLIPTokenizer):
         self.tokenizer = tokenizer
         self._by_first_token: dict[int, list[tuple[list[int], np.ndarray]]] = {}
+        self.version = 0  # bumped on registration; invalidates cond caches
 
     def register(self, name: str, vectors: np.ndarray):
         ids = self.tokenizer.encode(name)
         self._by_first_token.setdefault(ids[0], []).append((ids, vectors))
+        self.version += 1
 
     def find(self, tokens: list[int], position: int):
         cands = self._by_first_token.get(tokens[position], [])
@@ -176,10 +178,16 @@ class TextEncoder:
         )
 
     def encode_line(self, line: str) -> np.ndarray:
-        """(77*chunks, D) embedding for one prompt line, cached."""
-        key = (line, self.comma_backtrack, self.enable_emphasis)
+        """(77*chunks, D) embedding for one prompt line, cached (keyed on
+        the embedding-db version so later TI registrations invalidate)."""
+        key = (
+            line, self.comma_backtrack, self.enable_emphasis,
+            self.embedding_db.version,
+        )
         if key in self._cache:
             return self._cache[key]
+        if len(self._cache) >= 256:  # bound the long-running server's memory
+            self._cache.pop(next(iter(self._cache)))
         db = self.embedding_db.find if self.embedding_db else None
         chunks, _ = chunking.tokenize_line(
             line,

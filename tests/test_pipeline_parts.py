@@ -164,3 +164,59 @@ class TestMedia:
             f.write(b"abcd")
         url = video_to_data_url(p)
         assert url.startswith("data:video/mp4;base64,")
+
+
+class TestSecondReviewFixes:
+    def test_pickle_reader_rejects_oob_view(self, tmp_path):
+        """Crafted shape/stride metadata must not read outside storage."""
+        import torch
+
+        from t2v.io import pickle_reader as pr
+        from t2v.io.pickle_reader import load_torch_checkpoint
+
+        # sane checkpoints still load
+        t = torch.arange(4, dtype=torch.float32)
+        p = str(tmp_path / "ok.pt")
+        torch.save({"w": t}, p)
+        sd = load_torch_checkpoint(p)
+        np.testing.assert_array_equal(sd["w"], np.arange(4, dtype=np.float32))
+
+        class FakeStorage:
+            dtype = np.dtype("<f4")
+            key = "0"
+
+        stub = pr._TensorStub(
+            storage=FakeStorage(), offset=0, shape=(10**6,), stride=(1,)
+        )
+        with pytest.raises(ValueError):
+            pr._materialise(stub, b"\x00\x00\x80?" * 4)  # 4-float storage
+
+    def test_steps_exceeding_T_raise_cleanly(self):
+        from t2v.diffusion.schedules import (
+            make_ddim_timesteps,
+            modelscope_timesteps,
+        )
+
+        with pytest.raises(ValueError, match="cannot exceed"):
+            modelscope_timesteps(1000, 1001)
+        with pytest.raises(ValueError, match="cannot exceed"):
+            make_ddim_timesteps(1001, 1000)
+
+    def test_progressive_blend_skips_final_step(self):
+        import jax
+        import jax.numpy as jnp
+
+        from t2v.diffusion.sampling import _inpaint_blend
+
+        x = jnp.ones((1, 2, 4, 4, 4)) * 0.3
+        mask = jnp.zeros_like(x)  # mask<=0 → blend would replace everything
+        src = jnp.ones_like(x) * 0.9
+        tables = (jnp.ones((1000,)), jnp.zeros((1000,)))
+        out_last = _inpaint_blend(
+            x, 9, 10, mask, src, tables, 1, jax.random.key(0)
+        )
+        np.testing.assert_allclose(np.asarray(out_last), np.asarray(x))
+        out_mid = _inpaint_blend(
+            x, 5, 10, mask, src, tables, 1, jax.random.key(0)
+        )
+        assert not np.allclose(np.asarray(out_mid), np.asarray(x))
