@@ -65,6 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--skip-video-creation", action="store_true")
     # runtime
     p.add_argument("--fp32", action="store_true", help="fp32 weights (default bf16)")
+    p.add_argument("--tiny", action="store_true", help="tiny random-weight model (smoke test, no checkpoints)")
     p.add_argument("--dp-shards", type=int, default=1, help="data-parallel sampling across devices")
     p.add_argument("--profile", help="write a jax profiler trace to this dir")
     # server mode
@@ -129,7 +130,14 @@ def main(argv=None) -> int:
 
     policy = Policy.fp32() if ns.fp32 else Policy.bf16()
     pipe = None
-    if ns.model_dir:
+    if ns.tiny:
+        if ns.model_type == "VideoCrafter":
+            from t2v.pipeline.videocrafter import VideoCrafterPipeline
+
+            pipe = VideoCrafterPipeline.random_init()
+        else:
+            pipe = ModelScopePipeline.random_init()
+    elif ns.model_dir:
         pipe = ModelScopePipeline.from_model_dir(ns.model_dir, policy)
         if ns.embeddings_dir and pipe.text_encoder is not None:
             loaded = pipe.text_encoder.embedding_db.load_dir(ns.embeddings_dir)
