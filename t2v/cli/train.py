@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--ema-decay", type=float, default=0.0,
         help="EMA shadow decay (e.g. 0.9999); 0 disables (full fine-tune only)",
     )
+    p.add_argument(
+        "--remat", action="store_true",
+        help="gradient checkpointing: rematerialise the UNet forward in the "
+        "backward pass (fits longer clips / larger batches)",
+    )
     return p
 
 
@@ -127,7 +132,7 @@ def main(argv=None) -> int:
         )
         step_fn = make_train_step(
             pipe.unet.apply, opt, pipe.schedule, mesh,
-            ema_decay=ns.ema_decay or None,
+            ema_decay=ns.ema_decay or None, remat=ns.remat,
         )
 
     ds = WebVidDataset(

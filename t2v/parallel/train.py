@@ -72,6 +72,7 @@ def make_train_step(
     mesh: Mesh,
     *,
     ema_decay: float | None = None,
+    remat: bool = False,
 ) -> Callable:
     """Returns jitted train_step(state, batch, key) -> (state, loss).
 
@@ -79,8 +80,14 @@ def make_train_step(
     (dp, sp) on entry; grads are reduced by XLA across dp automatically.
     ema_decay enables an EMA shadow of the params (the reference's LitEma
     scope, ddpm3d.py:179-192) carried in state.ema_params.
+    remat=True rematerialises the UNet forward during the backward pass
+    (jax.checkpoint) — trades ~1 extra forward of FLOPs for activation
+    memory, the TPU counterpart of the reference's gradient checkpointing
+    (lvdm util.py:91-139 CheckpointFunction).
     """
     tables = schedule_tables(schedule)
+    if remat:
+        apply_fn = jax.checkpoint(apply_fn)
 
     def step(state: TrainState, batch, key):
         loss, grads = jax.value_and_grad(
@@ -114,6 +121,10 @@ def init_train_state(
     *,
     with_ema: bool = False,
 ) -> TrainState:
+    # copy first: device_put is a no-op when the placement already matches,
+    # and the train step DONATES the state — aliasing the caller's params
+    # would delete them (e.g. pipe.unet_params) after the first step
+    params = jax.tree.map(lambda p: jnp.array(p, copy=True), params)
     params = jax.device_put(params, param_sharding_rules(params, mesh))
     opt_state = optimizer.init(params)
     # copy=True: astype alone aliases fp32 buffers, which breaks donation

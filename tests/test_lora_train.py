@@ -172,3 +172,28 @@ class TestEMA:
             np.testing.assert_allclose(
                 np.asarray(e), 0.5 * np.asarray(a) + 0.5 * np.asarray(b), atol=1e-6
             )
+
+
+class TestRemat:
+    def test_remat_step_matches_plain(self, tiny_unet):
+        """jax.checkpoint must not change the loss/updates, only memory."""
+        cfg, model, params = tiny_unet
+        mesh = make_mesh(MeshConfig(dp=-1))
+        opt = make_optimizer(1e-2)
+        batch = _batch(cfg)
+        key = jax.random.key(2)
+
+        s1 = init_train_state(params, opt, mesh)
+        f1 = make_train_step(model.apply, opt, DiffusionSchedule.linear_sd(100), mesh)
+        with mesh:
+            s1, l1 = f1(s1, batch, key)
+
+        s2 = init_train_state(params, opt, mesh)
+        f2 = make_train_step(
+            model.apply, opt, DiffusionSchedule.linear_sd(100), mesh, remat=True
+        )
+        with mesh:
+            s2, l2 = f2(s2, batch, key)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
