@@ -90,12 +90,42 @@ class VideoCrafterPipeline:
             ),
         )
 
+    def load_lora(self, lora_path: str, scale: float = 1.0) -> list[str]:
+        """Merge a cloneofsimo-format LoRA (``lora_up/lora_down`` torch file
+        or safetensors) into the UNet — the reference's ``net_load_lora`` at
+        model load (sample_utils.py:30-31, lvdm lora.py:620-672). Returns
+        skipped module names."""
+        from t2v.io.convert_vc import vc_module_index
+        from t2v.pipeline.lora import merge_lvdm_lora
+
+        if lora_path.endswith(".safetensors"):
+            from t2v.io.safetensors_io import load_safetensors
+
+            sd = load_safetensors(lora_path)
+            if isinstance(sd, tuple):
+                sd = sd[0]
+        else:
+            from t2v.io.pickle_reader import load_torch_checkpoint
+
+            sd = load_torch_checkpoint(lora_path)
+            if "state_dict" in sd:
+                sd = sd["state_dict"]
+        merged, skipped = merge_lvdm_lora(
+            self.unet_params, sd, vc_module_index(self.cfg), scale
+        )
+        # cached sampler executables take params as arguments, so the merge
+        # takes effect immediately without invalidation
+        self.unet_params = merged
+        return skipped
+
     @classmethod
     def from_checkpoint(
         cls,
         ckpt_path: str,
         config_path: Optional[str] = None,
         policy: Policy = Policy.bf16(),
+        lora_path: Optional[str] = None,
+        lora_scale: float = 1.0,
     ) -> "VideoCrafterPipeline":
         import yaml
 
@@ -139,7 +169,7 @@ class VideoCrafterPipeline:
         tokenizer = CLIPTokenizer.find_and_load(
             os.path.dirname(ckpt_path), os.path.dirname(os.path.dirname(ckpt_path))
         )
-        return cls(
+        pipe = cls(
             cfg=cfg, vae_cfg=vae_cfg, clip_cfg=clip_cfg, policy=policy,
             unet=unet, vae=vae, clip=clip,
             unet_params=unet_params, vae_params=vae_params, clip_params=clip_params,
@@ -148,6 +178,10 @@ class VideoCrafterPipeline:
                 beta_schedule("linear", cfg.num_timesteps, cfg.linear_start, cfg.linear_end)
             ),
         )
+        if lora_path:
+            skipped = pipe.load_lora(lora_path, lora_scale)
+            print(f"t2v: merged LVDM LoRA ({len(skipped)} modules skipped)")
+        return pipe
 
     # ------------------------------------------------------------------
 

@@ -310,3 +310,39 @@ class TestTemporalAttentionParity:
         )
         theirs = (out @ torch.from_numpy(wo).T + torch.from_numpy(bo)).numpy()
         np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+class TestVCLoraLoad:
+    def test_load_lora_merges(self, rng, tmp_path):
+        """load_lora merges a lora_up/lora_down file into the UNet."""
+        from safetensors.numpy import save_file
+
+        from t2v.io.convert_vc import vc_module_index
+        from t2v.pipeline.videocrafter import VideoCrafterPipeline
+
+        pipe = VideoCrafterPipeline.random_init(seed=0)
+        idx = vc_module_index(pipe.cfg)
+        # pick a linear target from the index
+        name, (fpath, kind) = next(
+            (n, v) for n, v in idx.items() if v[1] == "linear"
+        )
+        node = pipe.unet_params["params"]
+        for seg in fpath:
+            node = node[seg]
+        d_in, d_out = node["kernel"].shape
+        sd = {
+            f"{name}.lora_up.weight": rng.normal(size=(d_out, 2)).astype(np.float32),
+            f"{name}.lora_down.weight": rng.normal(size=(2, d_in)).astype(np.float32),
+        }
+        p = str(tmp_path / "vc_lora.safetensors")
+        save_file(sd, p)
+        before = np.asarray(node["kernel"]).copy()
+        skipped = pipe.load_lora(p, scale=0.5)
+        assert skipped == []
+        node2 = pipe.unet_params["params"]
+        for seg in fpath:
+            node2 = node2[seg]
+        after = np.asarray(node2["kernel"])
+        assert not np.allclose(before, after)
+        expected = before + 0.5 * (sd[f"{name}.lora_up.weight"] @ sd[f"{name}.lora_down.weight"]).T
+        np.testing.assert_allclose(after, expected, atol=1e-5)
