@@ -137,6 +137,16 @@ def main(argv=None) -> int:
             pipe = VideoCrafterPipeline.random_init()
         else:
             pipe = ModelScopePipeline.random_init()
+    elif ns.model_dir and ns.model_type == "VideoCrafter":
+        from t2v.pipeline.videocrafter import VideoCrafterPipeline
+
+        ckpt = ns.model_dir
+        if os.path.isdir(ckpt):
+            ckpt = os.path.join(ckpt, "model.ckpt")
+        pipe = VideoCrafterPipeline.from_checkpoint(ckpt, policy=policy)
+        for lora_path in ns.lora:  # LVDM lora_up/lora_down format
+            skipped = pipe.load_lora(lora_path, ns.lora_alpha)
+            print(f"merged LVDM LoRA {os.path.basename(lora_path)} (skipped {len(skipped)})")
     elif ns.model_dir:
         pipe = ModelScopePipeline.from_model_dir(ns.model_dir, policy)
         if ns.embeddings_dir and pipe.text_encoder is not None:
