@@ -101,7 +101,7 @@ def create_app(pipe=None, models_root: Optional[str] = None):
         steps: Union[int, None] = None,
         frames: Union[int, None] = None,
         seed: Union[int, None] = None,
-        cfg_scale: Union[int, None] = None,
+        cfg_scale: Union[float, None] = None,
         width: Union[int, None] = None,
         height: Union[int, None] = None,
         eta: Union[float, None] = None,
@@ -162,7 +162,13 @@ def create_app(pipe=None, models_root: Optional[str] = None):
                 tmp_files.append(p)
                 args = args.replace(vid2vid_input=p)
 
-            result = run(args, out_args, pipe=pipe)
+            # off the event loop: generation takes minutes, and /t2v/progress
+            # + /t2v/interrupt must stay responsive while it runs
+            import anyio
+
+            result = await anyio.to_thread.run_sync(
+                lambda: run(args, out_args, pipe=pipe)
+            )
             return JSONResponse(content={"mp4s": result.data_urls})
         except ValueError as e:
             return JSONResponse(status_code=422, content={"detail": str(e)})

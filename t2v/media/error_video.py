@@ -37,6 +37,8 @@ def get_error_video_data_url(width: int = 256, height: int = 256) -> str:
             cv2.LINE_AA,
         )
         frames.append(img)
-    path = os.path.join(tempfile.gettempdir(), "t2v_error.mp4")
+    # per-process name: a shared fixed path races concurrent workers and
+    # fails on multi-user hosts
+    path = os.path.join(tempfile.gettempdir(), f"t2v_error_{os.getpid()}.mp4")
     ffmpeg_stitch_video(frames=frames, out_path=path, fps=6)
     return video_to_data_url(path)

@@ -137,11 +137,12 @@ def ffmpeg_stitch_video(
             )
         return out_path
 
+    tmp_imgs_dir = None
     if imgs_path is None:
         assert frames is not None
         import tempfile
 
-        imgs_path = tempfile.mkdtemp(prefix="t2v_frames_")
+        imgs_path = tmp_imgs_dir = tempfile.mkdtemp(prefix="t2v_frames_")
         for i, f in enumerate(frames):
             cv2.imwrite(os.path.join(imgs_path, f"{i:09d}.png"), cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
 
@@ -160,16 +161,22 @@ def ffmpeg_stitch_video(
     if metadata_comment:
         cmd += ["-metadata", f"comment={metadata_comment}"]
     cmd += [out_path]
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
 
-    if add_soundtrack != "None" and audio_path:
-        tmp = out_path + ".audio.mp4"
-        mux = [
-            ffmpeg, "-y", "-i", out_path, "-i", audio_path,
-            "-c:v", "copy", "-c:a", "aac", "-shortest", tmp,
-        ]
-        subprocess.run(mux, check=True, capture_output=True)
-        os.replace(tmp, out_path)
+        if add_soundtrack != "None" and audio_path:
+            tmp = out_path + ".audio.mp4"
+            mux = [
+                ffmpeg, "-y", "-i", out_path, "-i", audio_path,
+                "-c:v", "copy", "-c:a", "aac", "-shortest", tmp,
+            ]
+            subprocess.run(mux, check=True, capture_output=True)
+            os.replace(tmp, out_path)
+    finally:
+        if tmp_imgs_dir is not None:
+            import shutil
+
+            shutil.rmtree(tmp_imgs_dir, ignore_errors=True)
     return out_path
 
 

@@ -34,6 +34,8 @@ class AdapterResnetBlock(nn.Module):
     out_c: int
     down: bool = False
     sk: bool = False
+    ksize: int = 3
+    use_conv: bool = True  # conv vs avg-pool downsample (adapter.py:20-36)
     policy: Policy = Policy()
 
     @nn.compact
@@ -45,15 +47,18 @@ class AdapterResnetBlock(nn.Module):
             name=name, dtype=p.compute_dtype, param_dtype=p.param_dtype,
         )
         if self.down:
-            x = conv(x.shape[-1], "down_op", s=2)(x)
+            if self.use_conv:
+                x = conv(x.shape[-1], "down_op", s=2)(x)
+            else:
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         in_c = x.shape[-1]
         if in_c != self.out_c or not self.sk:
-            x = conv(self.out_c, "in_conv")(x)
+            x = conv(self.out_c, "in_conv", k=self.ksize)(x)
         h = conv(self.out_c, "block1")(x)
         h = jax.nn.relu(h)
-        h = conv(self.out_c, "block2")(h)
+        h = conv(self.out_c, "block2", k=self.ksize)(h)
         if not self.sk:
-            return h + conv(self.out_c, "skep")(x)
+            return h + conv(self.out_c, "skep", k=self.ksize)(x)
         return h + x
 
 
@@ -63,6 +68,16 @@ class AdapterConfig:
     nums_rb: int = 3
     cin: int = 64  # 1-channel depth x 8x8 unshuffle
     unshuffle: int = 8
+    # ResnetBlock knobs (adapter.py:40,76): the published VideoCrafter depth
+    # adapter uses ksize=1, sk=True, use_conv=False
+    ksize: int = 3
+    sk: bool = False
+    use_conv: bool = True
+
+    @classmethod
+    def depth_adapter(cls) -> "AdapterConfig":
+        """The sample_text2video_adapter depth configuration."""
+        return cls(nums_rb=2, ksize=1, sk=True, use_conv=False)
 
 
 class Adapter(nn.Module):
@@ -88,11 +103,39 @@ class Adapter(nn.Module):
                 x = AdapterResnetBlock(
                     out_c=ch,
                     down=(i != 0 and j == 0),
+                    sk=cfg.sk,
+                    ksize=cfg.ksize,
+                    use_conv=cfg.use_conv,
                     policy=p,
                     name=f"body_{i * cfg.nums_rb + j}",
                 )(x)
             features.append(x)
         return tuple(features)
+
+
+def infer_adapter_config(sd) -> AdapterConfig:
+    """Recover the ResnetBlock knobs from a checkpoint's keys/shapes."""
+    n_body = 1 + max(
+        int(k.split(".")[1]) for k in sd if k.startswith("body.")
+    )
+    sk = "body.0.skep.weight" not in sd
+    ksize = sd["body.0.block2.weight"].shape[-1]
+    use_conv = any(".down_opt.op.weight" in k for k in sd)
+    cin = sd["conv_in.weight"].shape[1]
+    ch0 = sd["conv_in.weight"].shape[0]
+    # channel ladder from each block's out channels
+    outs = [sd[f"body.{i}.block1.weight"].shape[0] for i in range(n_body)]
+    channels, nums_rb = [], 0
+    # nums_rb = run length of the first channel count
+    nums_rb = next(
+        (i for i in range(1, n_body) if outs[i] != outs[0]), n_body
+    )
+    channels = tuple(outs[i] for i in range(0, n_body, nums_rb))
+    assert channels[0] == ch0
+    return AdapterConfig(
+        channels=channels, nums_rb=nums_rb, cin=cin,
+        ksize=ksize, sk=sk, use_conv=use_conv,
+    )
 
 
 def convert_adapter(sd, cfg: AdapterConfig = AdapterConfig()) -> dict:

@@ -100,9 +100,9 @@ def encode_spatial_tiled(
     ys = _tile_starts(H, tile, stride)
     xs = _tile_starts(W, tile, stride)
     h, w = H // downscale, W // downscale
-    probe = np.asarray(encode_fn(x[:1, : min(tile, H), : min(tile, W)]))
-    c = probe.shape[-1]
-    out = np.zeros((f, h, w, c), np.float32)
+    # out is allocated lazily from the first real tile (a probe call would
+    # cost an extra compile at a different shape plus a wasted forward)
+    out = None
     norm = np.zeros((1, h, w, 1), np.float32)
     od = overlap // downscale
     for y0 in ys:
@@ -110,6 +110,8 @@ def encode_spatial_tiled(
             th = min(tile, H - y0)
             tw = min(tile, W - x0)
             lat = np.asarray(encode_fn(x[:, y0 : y0 + th, x0 : x0 + tw]), np.float32)
+            if out is None:
+                out = np.zeros((f, h, w, lat.shape[-1]), np.float32)
             lh, lw = lat.shape[1], lat.shape[2]
             wy = _ramp_weights(lh, od if y0 > 0 else 0, od if y0 + th < H else 0)
             wx = _ramp_weights(lw, od if x0 > 0 else 0, od if x0 + tw < W else 0)

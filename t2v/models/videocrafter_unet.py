@@ -556,7 +556,10 @@ class VideoCrafterUNet(nn.Module):
             emb = emb + lab.astype(emb.dtype)
 
         x = x.astype(p.compute_dtype)
-        ctx = context.astype(p.compute_dtype)
+        # context may be None (concat/adm conditioning keys): spatial
+        # cross-attention then falls back to self-attention, like the
+        # reference UNet with context=None
+        ctx = None if context is None else context.astype(p.compute_dtype)
 
         hs = []
         adapter_idx = 0

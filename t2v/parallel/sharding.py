@@ -26,7 +26,6 @@ _ROW_PARALLEL = ("to_out", "out_proj", "c_proj")
 
 
 def _spec_for_path(path: tuple[str, ...], ndim: int) -> P:
-    names = set(path)
     if ndim == 2:
         parent = path[-2] if len(path) >= 2 else ""
         if parent in _COLUMN_PARALLEL and path[-1] == "kernel":

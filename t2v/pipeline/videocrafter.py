@@ -219,9 +219,12 @@ class VideoCrafterPipeline:
             (k[len("adapter."):] if k.startswith("adapter.") else k): v
             for k, v in sd.items()
         }
-        cfg = adapter_cfg or AdapterConfig()
-        params = convert_adapter(sd, cfg)
-        return Adapter(cfg=cfg, policy=self.policy), params
+        if adapter_cfg is None:
+            from t2v.models.adapter import infer_adapter_config
+
+            adapter_cfg = infer_adapter_config(sd)
+        params = convert_adapter(sd, adapter_cfg)
+        return Adapter(cfg=adapter_cfg, policy=self.policy), params
 
     def adapter_features(self, adapter, adapter_params, depth_video: "np.ndarray"):
         """Per-frame adapter feature pyramid (ddpm3d.py:1470-1484 'process

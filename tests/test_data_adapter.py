@@ -175,3 +175,53 @@ class TestTrainCLIVideoCrafter:
 
         meta = json.load(open(os.path.join(out, "step_1", "t2v_native.json")))
         assert meta["model_family"] == "videocrafter"
+
+
+class TestDepthAdapterVariant:
+    def test_sk_true_avgpool_variant(self, rng):
+        """The published depth-adapter configuration (ksize=1, sk=True,
+        use_conv=False) builds, converts, and runs."""
+        from t2v.models.adapter import (
+            Adapter,
+            AdapterConfig,
+            convert_adapter,
+            infer_adapter_config,
+        )
+
+        cfg = AdapterConfig(
+            channels=(8, 16), nums_rb=2, cin=64, ksize=1, sk=True, use_conv=False
+        )
+        # synthetic torch sd with the reference's conditional key layout
+        sd = {}
+        r = lambda *s: rng.normal(size=s).astype(np.float32) * 0.1
+
+        def conv(p, o, i, k):
+            sd[f"{p}.weight"] = r(o, i, k, k)
+            sd[f"{p}.bias"] = r(o)
+
+        conv("conv_in", 8, 64, 3)
+        # i=0: blocks 0,1 (in 8->8, sk=True -> NO in_conv, NO skep)
+        for idx in (0, 1):
+            conv(f"body.{idx}.block1", 8, 8, 3)
+            conv(f"body.{idx}.block2", 8, 8, 1)
+        # i=1: block 2 (down, avg-pool so NO down_opt conv; in 8->16 so
+        # in_conv exists), block 3 (16->16, no in_conv)
+        conv("body.2.in_conv", 16, 8, 1)
+        conv("body.2.block1", 16, 16, 3)
+        conv("body.2.block2", 16, 16, 1)
+        conv("body.3.block1", 16, 16, 3)
+        conv("body.3.block2", 16, 16, 1)
+
+        inferred = infer_adapter_config(sd)
+        assert inferred.sk and not inferred.use_conv and inferred.ksize == 1
+        assert inferred.channels == (8, 16) and inferred.nums_rb == 2
+
+        params = convert_adapter(sd, cfg)
+        m = Adapter(cfg=cfg)
+        x = jnp.zeros((1, 32, 32, 1))
+        ref = jax.jit(m.init)(jax.random.key(0), x)
+        shapes = lambda t: jax.tree.map(lambda a: tuple(a.shape), t)
+        assert shapes(ref) == shapes(params)
+        feats = m.apply(params, x)
+        assert feats[0].shape == (1, 4, 4, 8)
+        assert feats[1].shape == (1, 2, 2, 16)
