@@ -197,20 +197,24 @@ def sample(x, model_fn, p: Plan, unroll_threshold: int = 2 * ORDER):
     return x
 
 
-def _scan_homogeneous(x, models, homo: range, p: Plan, model_fn):
-    """lax.scan over the order-3 + corrector steps."""
+def _homo_tables(p: Plan, homo: range):
+    """Stacked per-rung coefficient tables for the homogeneous region."""
     coeffs = [_step_coeffs(p, s, ORDER) for s in homo]
     tab = lambda f: jnp.asarray(np.stack([f(c) for c in coeffs]), jnp.float32)
-    rk1 = tab(lambda c: c[0][0])
-    rk2 = tab(lambda c: c[0][1])
-    c_x = tab(lambda c: c[1])
-    c_m = tab(lambda c: c[2])
-    aB = tab(lambda c: c[3])
-    rp = jnp.asarray(np.stack([c[4] for c in coeffs]), jnp.float32)  # (n, 2)
-    rc = jnp.asarray(np.stack([c[5] for c in coeffs]), jnp.float32)  # (n, 3)
-    t_in = jnp.asarray(p.t_input[list(homo)], jnp.float32)
-    s_idx = jnp.asarray(np.asarray(list(homo)), jnp.int32)
+    return (
+        tab(lambda c: c[0][0]),  # rk1
+        tab(lambda c: c[0][1]),  # rk2
+        tab(lambda c: c[1]),  # c_x
+        tab(lambda c: c[2]),  # c_m
+        tab(lambda c: c[3]),  # aB
+        jnp.asarray(np.stack([c[4] for c in coeffs]), jnp.float32),  # (n, 2)
+        jnp.asarray(np.stack([c[5] for c in coeffs]), jnp.float32),  # (n, 3)
+        jnp.asarray(p.t_input[list(homo)], jnp.float32),
+        jnp.asarray(np.asarray(list(homo)), jnp.int32),
+    )
 
+
+def _homo_body(model_fn):
     def body(carry, per_step):
         x, m0, m1, m2 = carry  # m2 newest (rung s-1)
         (rk1_i, rk2_i, cx_i, cm_i, aB_i, rp_i, rc_i, t_i, si) = per_step
@@ -222,8 +226,69 @@ def _scan_homogeneous(x, models, homo: range, p: Plan, model_fn):
         x_t = x_t_ - aB_i * (rc_i[0] * d1_1 + rc_i[1] * d1_2 + rc_i[2] * (m_t - m2))
         return (x_t, m1, m2, m_t), None
 
+    return body
+
+
+def _scan_homogeneous(x, models, homo: range, p: Plan, model_fn):
+    """lax.scan over the order-3 + corrector steps."""
+    tables = _homo_tables(p, homo)
     carry = (x, models[0], models[1], models[2])
-    (x, m0, m1, m2), _ = jax.lax.scan(
-        body, carry, (rk1, rk2, c_x, c_m, aB, rp, rc, t_in, s_idx)
-    )
+    (x, m0, m1, m2), _ = jax.lax.scan(_homo_body(model_fn), carry, tables)
     return x, [m0, m1, m2]
+
+
+# ---------------------------------------------------------------------------
+# Windowed (interrupt-capable) execution: warmup / homo windows / tail — the
+# multistep state (x + the last ORDER x0-predictions) crosses window
+# boundaries so callers can jit each segment with params as a real argument
+# and poll a cooperative interrupt in between.
+
+
+def warmup(x, model_fn, p: Plan):
+    """Rungs 0..ORDER-1 (rising order). Returns (x, (m0, m1, m2)).
+    Requires p.steps >= ORDER."""
+    m = model_fn(x, p.t_input[0], 0)
+    models = [m]
+    for s in range(1, ORDER):
+        x, mm = _update(x, models, s, order_s=s, use_corrector=True, p=p, model_fn=model_fn)
+        if mm is None:
+            mm = model_fn(x, p.t_input[s], s)
+        models.append(mm)
+    return x, tuple(models)
+
+
+def homo_range(p: Plan) -> range:
+    return range(ORDER, p.steps + 1 - ORDER + 1)
+
+
+def homo_window(x, models3, model_fn, p: Plan, offset, n: int):
+    """Run n homogeneous rungs starting at index ``offset`` into
+    homo_range(p); offset may be traced, so every same-length window shares
+    one jaxpr (tables are sliced with dynamic_slice)."""
+    tables = _homo_tables(p, homo_range(p))
+    window = tuple(
+        jax.lax.dynamic_slice_in_dim(t, offset, n, axis=0) for t in tables
+    )
+    carry = (x, *models3)
+    (x, m0, m1, m2), _ = jax.lax.scan(_homo_body(model_fn), carry, window)
+    return x, (m0, m1, m2)
+
+
+def tail(x, models3, model_fn, p: Plan):
+    """The final lower-order rungs after the homogeneous region
+    (lower_order_final; corrector off on the last rung)."""
+    steps = p.steps
+    models = list(models3)
+    for s in range(steps + 1 - ORDER + 1, steps + 1):
+        order_s = min(ORDER, steps + 1 - s)
+        use_corrector = s < steps
+        x, m = _update(
+            x, models, s, order_s=order_s, use_corrector=use_corrector, p=p,
+            model_fn=model_fn,
+        )
+        models = models[1:]
+        if s < steps:
+            if m is None:
+                m = model_fn(x, p.t_input[s], s)
+            models.append(m)
+    return x

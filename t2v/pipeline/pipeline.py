@@ -364,35 +364,10 @@ class ModelScopePipeline:
                 latents, mask,
             )
         elif args.sampler == "UniPC":
-            # UniPC's multistep history is not windowed (yet); whole jitted
-            # loop with params as argument and a terminal callback
-            static = (
-                "unipc", steps, shape, float(args.cfg_scale),
-                float(args.eta), float(args.strength), is_vid2vid,
-                inpaint_mode, latents is not None, mask is not None,
+            x0 = self._infer_unipc(
+                steps, shape, args, key, conditioning, latents, mask,
+                is_vid2vid, inpaint_mode, callback, callback_interval,
             )
-
-            def build():
-                def f(params, key, cond, uncond, latents, mask):
-                    def apply_fn(x, t, ctx):
-                        return unet.apply(params, x, t, ctx)
-
-                    return sample_loop(
-                        apply_fn, self.schedule, steps=steps, shape=shape,
-                        cond=cond, uncond=uncond,
-                        guidance_scale=args.cfg_scale, eta=args.eta,
-                        sampler_name=args.sampler, key=key, latents=latents,
-                        is_vid2vid=is_vid2vid, strength=args.strength,
-                        mask=mask, inpaint_mode=inpaint_mode,
-                    )
-
-                return jax.jit(f)
-
-            x0 = self._sampler_fn(static, build)(
-                self.unet_params, key, conditioning.cond, conditioning.uncond,
-                latents, mask,
-            )
-            callback(steps)
         else:
             # cooperative-interrupt windowed path: each window is a jitted
             # executable taking params as a REAL argument; the host polls
@@ -459,6 +434,114 @@ class ModelScopePipeline:
             f"decode={t_decode:.2f}s"
         )
         return InferResult(frames=list(frames), latents=x0, infotext=infotext)
+
+    def _infer_unipc(
+        self, steps, shape, args, key, conditioning, latents, mask,
+        is_vid2vid, inpaint_mode, callback, callback_interval,
+    ):
+        """UniPC sampling. txt2vid with a callback runs windowed (warmup /
+        homo windows / tail — jitted with params as argument, interrupt
+        polled between segments); other variants run the whole jitted loop
+        with a terminal callback."""
+        from t2v.diffusion import unipc
+
+        unet = self.unet
+        cond, uncond = conditioning.cond, conditioning.uncond
+        windowable = (
+            callback is not None
+            and callback_interval is not None
+            and latents is None
+            and mask is None
+            and steps >= 2 * unipc.ORDER
+        )
+        if not windowable:
+            static = (
+                "unipc", steps, shape, float(args.cfg_scale),
+                float(args.eta), float(args.strength), is_vid2vid,
+                inpaint_mode, latents is not None, mask is not None,
+            )
+
+            def build():
+                def f(params, key, cond, uncond, latents, mask):
+                    def apply_fn(x, t, ctx):
+                        return unet.apply(params, x, t, ctx)
+
+                    return sample_loop(
+                        apply_fn, self.schedule, steps=steps, shape=shape,
+                        cond=cond, uncond=uncond,
+                        guidance_scale=args.cfg_scale, eta=args.eta,
+                        sampler_name=args.sampler, key=key, latents=latents,
+                        is_vid2vid=is_vid2vid, strength=args.strength,
+                        mask=mask, inpaint_mode=inpaint_mode,
+                    )
+
+                return jax.jit(f)
+
+            x0 = self._sampler_fn(static, build)(
+                self.unet_params, key, cond, uncond, latents, mask
+            )
+            if callback is not None:
+                callback(steps)
+            return x0
+
+        from t2v.diffusion.sampling import _unipc_model_fn
+
+        p = unipc.plan(self.schedule, steps)
+
+        def make_model_fn(params):
+            def apply_fn(x, t, ctx):
+                return unet.apply(params, x, t, ctx)
+
+            return _unipc_model_fn(apply_fn, cond, uncond, args.cfg_scale, p)
+
+        base = ("unipc-win", steps, shape, float(args.cfg_scale))
+
+        def build_warm():
+            def f(params, x):
+                return unipc.warmup(x, make_model_fn(params), p)
+
+            return jax.jit(f)
+
+        def build_homo(n):
+            def build():
+                def f(params, x, m0, m1, m2, off):
+                    return unipc.homo_window(
+                        x, (m0, m1, m2), make_model_fn(params), p, off, n
+                    )
+
+                return jax.jit(f)
+
+            return build
+
+        def build_tail():
+            def f(params, x, m0, m1, m2):
+                return unipc.tail(x, (m0, m1, m2), make_model_fn(params), p)
+
+            return jax.jit(f)
+
+        x = rng_lib.latent_noise(key, shape).astype(jnp.float32)
+        x, models = self._sampler_fn(base + ("warm",), build_warm)(
+            self.unet_params, x
+        )
+        jax.block_until_ready(x)
+        callback(unipc.ORDER)
+
+        L = len(unipc.homo_range(p))
+        done = 0
+        while done < L:
+            n = min(callback_interval, L - done)
+            fn = self._sampler_fn(base + ("homo", n), build_homo(n))
+            x, models = fn(self.unet_params, x, *models, done)
+            jax.block_until_ready(x)
+            done += n
+            callback(unipc.ORDER + done)
+
+        x = self._sampler_fn(base + ("tail",), build_tail)(
+            self.unet_params, x, *models
+        )
+        jax.block_until_ready(x)
+        callback(steps)
+        return x
 
     def _sampler_fn(self, static_key, build):
         """Per-pipeline cache of jitted sampler executables, keyed by the

@@ -224,3 +224,52 @@ class TestSampleLoopEndToEnd:
         )
         assert seen == [2, 4, 6]
         assert np.allclose(x_full, x_chunk, rtol=1e-5, atol=1e-6)
+
+
+class TestUniPCWindowed:
+    def test_windowed_segments_match_monolithic(self):
+        import jax
+        import jax.numpy as jnp
+
+        from t2v.core import rng as rng_lib
+        from t2v.diffusion import unipc
+        from t2v.diffusion.schedules import DiffusionSchedule
+
+        sched = DiffusionSchedule.linear_sd(1000)
+        p = unipc.plan(sched, 10)
+
+        def model_fn(x, t_input, s):
+            return 0.3 * x + 0.01 * t_input
+
+        x0 = rng_lib.latent_noise(rng_lib.key_for_seed(4), (1, 2, 8, 8, 4))
+        ref = unipc.sample(x0, model_fn, p)
+
+        x, models = unipc.warmup(x0, model_fn, p)
+        L = len(unipc.homo_range(p))
+        off = 0
+        for n in (4, L - 4):
+            x, models = unipc.homo_window(
+                x, models, model_fn, p, jnp.asarray(off), n
+            )
+            off += n
+        out = unipc.tail(x, models, model_fn, p)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_pipeline_unipc_windowed_matches_monolithic(self):
+        from t2v.core.config import T2VArgs
+        from t2v.core.state import JobState
+        from t2v.pipeline.pipeline import ModelScopePipeline
+
+        pipe = ModelScopePipeline.random_init()
+        args = T2VArgs(
+            prompt="x", n_prompt="n", steps=8, frames=2, width=32, height=32,
+            seed=3, sampler="UniPC",
+        )
+        ref = pipe.infer(args)  # monolithic (callback None)
+        st = JobState()
+        st.begin_job(0, 1, 8)
+        out = pipe.infer(args, callback=st.step_callback, callback_interval=2)
+        assert st.sampling_step == 8
+        np.testing.assert_allclose(
+            np.asarray(out.latents), np.asarray(ref.latents), atol=1e-4
+        )
