@@ -125,6 +125,7 @@ def main(argv=None) -> int:
         step_fn = make_lora_train_step(
             pipe.unet.apply, opt, pipe.schedule, mesh,
             pipe.unet_params, lora_index, alpha=ns.lora_alpha,
+            parameterization=unet_cfg.parameterization,
         )
     else:
         state = init_train_state(
@@ -133,6 +134,7 @@ def main(argv=None) -> int:
         step_fn = make_train_step(
             pipe.unet.apply, opt, pipe.schedule, mesh,
             ema_decay=ns.ema_decay or None, remat=ns.remat,
+            parameterization=unet_cfg.parameterization,
         )
 
     ds = WebVidDataset(

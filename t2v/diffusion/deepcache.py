@@ -22,6 +22,7 @@ import numpy as np
 from t2v.core import rng as rng_lib
 from t2v.diffusion import ddim as ddim_mod
 from t2v.diffusion import ddim_gaussian as gaussian_mod
+from t2v.diffusion import sampling as sampling_mod
 from t2v.diffusion.sampling import _cond_at, cfg_combine
 from t2v.diffusion.schedules import DiffusionSchedule
 
@@ -39,13 +40,14 @@ def deepcache_plan(sampler_name: str, schedule: DiffusionSchedule, steps: int, e
 
 def make_deepcache_body(
     mod, p, apply_full, apply_cached, cond, uncond, guidance_scale, eta,
-    key, interval: int,
+    key, interval: int, parameterization: str = "eps", schedule=None,
 ):
     """Scan body over carry (x, deep_feature)."""
     t_table = jnp.asarray(np.asarray(p.timesteps), jnp.float32)
     combine = mod.CFG_COMBINE
     do_cfg = uncond is not None and guidance_scale not in (None, 1)
     eta_key = rng_lib.stream(key, "ddim_eta")
+    convert = sampling_mod.make_out_to_eps(parameterization, schedule)
 
     def model_in(x, step):
         c = _cond_at(cond, step)
@@ -78,7 +80,7 @@ def make_deepcache_body(
             return apply_cached(x2, tt, cc, feat), feat
 
         out, feat = jax.lax.cond(i % interval == 0, full, cached, operand=None)
-        eps = to_eps(out).astype(jnp.float32)
+        eps = convert(to_eps(out), xc, t_table[i]).astype(jnp.float32)
         noise = (
             jax.random.normal(jax.random.fold_in(eta_key, i), xc.shape, xc.dtype)
             if eta > 0
@@ -131,6 +133,7 @@ def sample_loop_deepcache(
     sampler_name: str = "DDIM_Gaussian",
     key: jax.Array | None = None,
     interval: int = 3,
+    parameterization: str = "eps",
 ):
     """Returns the final x0 latent, like sampling.sample_loop (txt2vid)."""
     if key is None:
@@ -139,7 +142,7 @@ def sample_loop_deepcache(
     x = rng_lib.latent_noise(key, shape).astype(jnp.float32)
     body = make_deepcache_body(
         mod, p, apply_full, apply_cached, cond, uncond, guidance_scale, eta,
-        key, interval,
+        key, interval, parameterization, schedule,
     )
     feat0 = deepcache_feat0(apply_full, x, cond, uncond, guidance_scale)
     (x, _), _ = jax.lax.scan(body, (x, feat0), jnp.arange(p.steps))

@@ -92,32 +92,78 @@ def cfg_combine(y, u, scale, mode: str):
     raise ValueError(mode)
 
 
+def make_out_to_eps(
+    parameterization: str | None, schedule: DiffusionSchedule | None
+) -> Callable:
+    """Model-output → eps conversion for non-eps parameterizations.
+
+    Mirrors the reference DDIM hooks (sampler.py:183-206 /
+    ddpm3d.py predict_eps_from_z_and_v): with discrete timestep t,
+    ``v``: eps = √ᾱ_t·v + √(1-ᾱ_t)·x;  ``x0``: eps = (x - √ᾱ_t·x0)/√(1-ᾱ_t).
+    Learned-variance extra channels (out wider than x) pass through
+    unconverted. Returns convert(out, x, t) with scalar integer-valued t.
+    """
+    if parameterization in (None, "eps"):
+        return lambda out, x, t: out
+    if parameterization not in ("v", "x0"):
+        raise ValueError(f"parameterization {parameterization!r}")
+    if schedule is None:
+        raise ValueError("non-eps parameterization needs the schedule")
+    sa = jnp.asarray(schedule.sqrt_alphas_cumprod)
+    s1ma = jnp.asarray(schedule.sqrt_one_minus_alphas_cumprod)
+
+    def convert(out, x, t):
+        ti = jnp.asarray(t, jnp.int32)
+        a, b = sa[ti], s1ma[ti]
+        c = x.shape[-1]
+        mean, rest = out[..., :c], out[..., c:]
+        if parameterization == "v":
+            eps = a * mean + b * x
+        else:  # x0
+            eps = (x - a * mean) / b
+        if rest.shape[-1]:
+            eps = jnp.concatenate([eps, rest], axis=-1)
+        return eps
+
+    return convert
+
+
 def make_eps_fn(
     apply_fn: Callable,
     cond,
     uncond,
     guidance_scale: float,
     combine: str,
+    parameterization: str = "eps",
+    schedule: DiffusionSchedule | None = None,
 ) -> Callable:
     """Build eps_fn(x, t, step) with fused-CFG batching.
 
     apply_fn(x, t, context) -> model output, x: (B, F, H, W, C), t: (B,).
+
+    ``parameterization`` follows the model's prediction target
+    (configuration.json ``mean_type`` / LVDM ``parameterization``). The
+    reference combines CFG on raw model outputs and then converts
+    (sampler.py:181-206); all CFG modes here are affine with weights
+    summing to 1 and the conversions are affine in (out, x), so
+    converting the combined output is identical.
     """
     unconditional = uncond is None or guidance_scale == 1 or guidance_scale is None
+    convert = make_out_to_eps(parameterization, schedule)
 
     def eps_fn(x, t, step):
         b = x.shape[0]
         c = _cond_at(cond, step)
         tt = jnp.full((b,), t, dtype=jnp.float32)
         if unconditional:
-            return apply_fn(x, tt, c)
+            return convert(apply_fn(x, tt, c), x, t)
         uc = _cond_at(uncond, step)
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.concatenate([tt, tt], axis=0)
         ctx2 = jnp.concatenate([uc, c], axis=0)
         out = apply_fn(x2, t2, ctx2)
         u, y = jnp.split(out, 2, axis=0)
-        return cfg_combine(y, u, guidance_scale, combine)
+        return convert(cfg_combine(y, u, guidance_scale, combine), x, t)
 
     return eps_fn
 
@@ -175,6 +221,7 @@ def sample_loop(
     image_latents=None,
     inpaint_mode: str = "initial_only",  # "initial_only" (reference parity) | "progressive" | "lvdm_static"
     cfg_combine_mode: str | None = None,  # override (LVDM uc_type variants)
+    parameterization: str = "eps",  # model prediction target: "eps"|"v"|"x0"
     callback: Callable[[int], None] | None = None,
     callback_interval: int | None = None,
     dtype=jnp.float32,
@@ -202,7 +249,10 @@ def sample_loop(
         x = x.astype(jnp.float32)
         t_start = strength if (is_vid2vid and strength is not None) else None
         p = unipc_mod.plan(schedule, steps, t_start=t_start)
-        model_fn = _unipc_model_fn(apply_fn, cond, uncond, guidance_scale, p)
+        model_fn = _unipc_model_fn(
+            apply_fn, cond, uncond, guidance_scale, p,
+            parameterization=parameterization,
+        )
         out = unipc_mod.sample(x, model_fn, p)
         if callback is not None:
             callback(steps)  # terminal progress like the other samplers
@@ -216,20 +266,30 @@ def sample_loop(
     return _scan_simple(
         mod, p, x, apply_fn, cond, uncond, guidance_scale, key, eta,
         mask, image_latents, inpaint_mode, schedule, callback,
-        callback_interval, cfg_combine_mode,
+        callback_interval, cfg_combine_mode, parameterization,
     )
 
 
-def _unipc_model_fn(apply_fn, cond, uncond, guidance_scale, p: unipc_mod.Plan):
+def _unipc_model_fn(
+    apply_fn, cond, uncond, guidance_scale, p: unipc_mod.Plan,
+    parameterization: str = "eps",
+):
     """x0-("data")-prediction wrapper with full-channel CFG
-    (uni_pc.py:296-311, 350-364)."""
-    eps_fn = make_eps_fn(apply_fn, cond, uncond, guidance_scale, "full")
+    (uni_pc.py:296-311, 350-364). Non-eps model targets convert via the
+    plan's continuous-time (α_t, σ_t), matching the reference
+    model_wrapper's noise/x0/v modes (uni_pc.py:156-311):
+    v: x0 = α_s·x - σ_s·v;  x0: identity."""
+    out_fn = make_eps_fn(apply_fn, cond, uncond, guidance_scale, "full")
     alpha = jnp.asarray(p.alpha, jnp.float32)
     sigma = jnp.asarray(p.sigma, jnp.float32)
 
     def model_fn(x, t_input, s):
-        eps = eps_fn(x, t_input, s)
-        return (x - sigma[s] * eps) / alpha[s]
+        out = out_fn(x, t_input, s)
+        if parameterization == "x0":
+            return out
+        if parameterization == "v":
+            return alpha[s] * x - sigma[s] * out
+        return (x - sigma[s] * out) / alpha[s]
 
     return model_fn
 
@@ -237,11 +297,14 @@ def _unipc_model_fn(apply_fn, cond, uncond, guidance_scale, p: unipc_mod.Plan):
 def make_step_body(
     mod, p, apply_fn, cond, uncond, guidance_scale, key, eta,
     mask, image_latents, inpaint_mode, schedule, cfg_combine_mode=None,
+    parameterization: str = "eps",
 ):
     """Build the per-step scan body(x, i) -> (x, None) shared by the
     monolithic scan and the windowed (interrupt-capable) execution."""
     eps_fn = make_eps_fn(
-        apply_fn, cond, uncond, guidance_scale, cfg_combine_mode or mod.CFG_COMBINE
+        apply_fn, cond, uncond, guidance_scale,
+        cfg_combine_mode or mod.CFG_COMBINE,
+        parameterization=parameterization, schedule=schedule,
     )
     steps = p.steps
     needs_noise = eta > 0
@@ -311,12 +374,13 @@ def run_window(body, x, start, n: int):
 def _scan_simple(
     mod, p, x, apply_fn, cond, uncond, guidance_scale, key, eta,
     mask, image_latents, inpaint_mode, schedule, callback, callback_interval,
-    cfg_combine_mode=None,
+    cfg_combine_mode=None, parameterization: str = "eps",
 ):
     """lax.scan driver for the single-state samplers (DDIM_Gaussian, DDIM)."""
     body = make_step_body(
         mod, p, apply_fn, cond, uncond, guidance_scale, key, eta,
         mask, image_latents, inpaint_mode, schedule, cfg_combine_mode,
+        parameterization,
     )
     steps = p.steps
 

@@ -52,6 +52,7 @@ class VideoCrafterUNetConfig:
     use_relative_position: bool = True
     num_classes: Optional[int] = None  # class-conditional label_emb (adm)
     conditioning_key: str = "crossattn"  # DiffusionWrapper mode (ddpm3d.py:1362)
+    parameterization: str = "eps"  # "eps" | "x0" | "v" (ddpm3d.py:76-84)
     num_timesteps: int = 1000
     linear_start: float = 0.00085
     linear_end: float = 0.012
@@ -79,6 +80,7 @@ class VideoCrafterUNetConfig:
             use_relative_position=u.get("use_relative_position", True),
             num_classes=u.get("num_classes"),
             conditioning_key=m.get("conditioning_key", "crossattn"),
+            parameterization=m.get("parameterization", "eps"),
             num_timesteps=m.get("timesteps", 1000),
             linear_start=m.get("linear_start", 0.00085),
             linear_end=m.get("linear_end", 0.012),

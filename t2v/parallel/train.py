@@ -36,19 +36,29 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2) -> optax.Gradie
     return optax.adamw(lr, weight_decay=weight_decay)
 
 
-def diffusion_loss(apply_fn, params, schedule_tables, batch, key):
-    """eps-parameterisation MSE (ddpm3d.py:885-922 semantics)."""
+def diffusion_loss(
+    apply_fn, params, schedule_tables, batch, key, parameterization: str = "eps"
+):
+    """Denoising MSE (ddpm3d.py:885-922 semantics). The regression target
+    follows the model's prediction parameterization (ddpm3d.py:893-898):
+    eps → noise;  x0 → the clean latent;  v → √ᾱ_t·eps - √(1-ᾱ_t)·x0."""
     x0, context = batch["latents"], batch["context"]
     b = x0.shape[0]
     kt, kn = jax.random.split(key)
     t = jax.random.randint(kt, (b,), 0, schedule_tables["num_timesteps"])
     noise = jax.random.normal(kn, x0.shape, x0.dtype)
-    sqrt_ac = schedule_tables["sqrt_alphas_cumprod"][t]
-    sqrt_1mac = schedule_tables["sqrt_one_minus_alphas_cumprod"][t]
     bshape = (b,) + (1,) * (x0.ndim - 1)
-    xt = sqrt_ac.reshape(bshape) * x0 + sqrt_1mac.reshape(bshape) * noise
-    eps = apply_fn(params, xt, t.astype(jnp.float32), context)
-    return jnp.mean((eps - noise) ** 2)
+    sqrt_ac = schedule_tables["sqrt_alphas_cumprod"][t].reshape(bshape)
+    sqrt_1mac = schedule_tables["sqrt_one_minus_alphas_cumprod"][t].reshape(bshape)
+    xt = sqrt_ac * x0 + sqrt_1mac * noise
+    if parameterization == "x0":
+        target = x0
+    elif parameterization == "v":
+        target = sqrt_ac * noise - sqrt_1mac * x0
+    else:
+        target = noise
+    pred = apply_fn(params, xt, t.astype(jnp.float32), context)
+    return jnp.mean((pred - target) ** 2)
 
 
 def schedule_tables(schedule: DiffusionSchedule) -> dict:
@@ -73,6 +83,7 @@ def make_train_step(
     *,
     ema_decay: float | None = None,
     remat: bool = False,
+    parameterization: str = "eps",
 ) -> Callable:
     """Returns jitted train_step(state, batch, key) -> (state, loss).
 
@@ -91,7 +102,9 @@ def make_train_step(
 
     def step(state: TrainState, batch, key):
         loss, grads = jax.value_and_grad(
-            lambda p: diffusion_loss(apply_fn, p, tables, batch, key)
+            lambda p: diffusion_loss(
+                apply_fn, p, tables, batch, key, parameterization
+            )
         )(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -148,6 +161,7 @@ def make_lora_train_step(
     module_index,
     *,
     alpha: float = 1.0,
+    parameterization: str = "eps",
 ) -> Callable:
     """LoRA fine-tuning step: state.params is the low-rank adapter tree
     (t2v/pipeline/lora.py ``init_lora``); the frozen base params are merged
@@ -162,7 +176,9 @@ def make_lora_train_step(
     def step(state: TrainState, batch, key, base):
         def loss_fn(lora):
             merged = apply_lora(base, lora, module_index, alpha)
-            return diffusion_loss(apply_fn, merged, tables, batch, key)
+            return diffusion_loss(
+                apply_fn, merged, tables, batch, key, parameterization
+            )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)

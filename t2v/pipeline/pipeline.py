@@ -355,6 +355,7 @@ class ModelScopePipeline:
                         sampler_name=args.sampler, key=key, latents=latents,
                         is_vid2vid=is_vid2vid, strength=args.strength,
                         mask=mask, inpaint_mode=inpaint_mode,
+                        parameterization=self.unet_cfg.parameterization,
                     )
 
                 return jax.jit(f)
@@ -401,6 +402,7 @@ class ModelScopePipeline:
                             mod, p, apply_fn, cond, uncond, args.cfg_scale,
                             wkey, args.eta, mask, None, inpaint_mode,
                             self.schedule,
+                            parameterization=self.unet_cfg.parameterization,
                         )
                         return run_window(body, x, start, n)
 
@@ -473,6 +475,7 @@ class ModelScopePipeline:
                         sampler_name=args.sampler, key=key, latents=latents,
                         is_vid2vid=is_vid2vid, strength=args.strength,
                         mask=mask, inpaint_mode=inpaint_mode,
+                        parameterization=self.unet_cfg.parameterization,
                     )
 
                 return jax.jit(f)
@@ -492,7 +495,10 @@ class ModelScopePipeline:
             def apply_fn(x, t, ctx):
                 return unet.apply(params, x, t, ctx)
 
-            return _unipc_model_fn(apply_fn, cond, uncond, args.cfg_scale, p)
+            return _unipc_model_fn(
+                apply_fn, cond, uncond, args.cfg_scale, p,
+                parameterization=self.unet_cfg.parameterization,
+            )
 
         base = ("unipc-win", steps, shape, float(args.cfg_scale))
 
@@ -585,6 +591,7 @@ class ModelScopePipeline:
                         shape=shape, cond=cond, uncond=uncond,
                         guidance_scale=args.cfg_scale, eta=args.eta,
                         sampler_name=args.sampler, key=key, interval=interval,
+                        parameterization=self.unet_cfg.parameterization,
                     )
 
                 return jax.jit(f)
@@ -610,6 +617,7 @@ class ModelScopePipeline:
                     body = dc.make_deepcache_body(
                         mod, p, apply_full, apply_cached, cond, uncond,
                         args.cfg_scale, args.eta, wkey, interval,
+                        self.unet_cfg.parameterization, schedule,
                     )
                     return dc.run_deepcache_window(body, x, feat, start, n)
 

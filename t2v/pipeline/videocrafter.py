@@ -303,7 +303,11 @@ class VideoCrafterPipeline:
             from t2v.diffusion import ddpm as ddpm_mod
             from t2v.diffusion.sampling import make_eps_fn
 
-            eps_fn = make_eps_fn(apply_fn, cond, uncond, args.cfg_scale, "full")
+            eps_fn = make_eps_fn(
+                apply_fn, cond, uncond, args.cfg_scale, "full",
+                parameterization=self.cfg.parameterization,
+                schedule=self.schedule,
+            )
             noise = rng_lib.latent_noise(key, shape)
             x0 = ddpm_mod.sample(eps_fn, self.schedule, noise, key)
         elif callback is None or callback_interval is None:
@@ -339,6 +343,7 @@ class VideoCrafterPipeline:
                         sampler_name="DDIM", key=key, mask=mask,
                         image_latents=source_latents, inpaint_mode=inpaint,
                         cfg_combine_mode=uc_type,
+                        parameterization=self.cfg.parameterization,
                     )
 
                 fn = jax.jit(f)
@@ -388,6 +393,7 @@ class VideoCrafterPipeline:
                             mod, p, apply, cond, uncond, args.cfg_scale,
                             wkey, args.eta, mask, src, inpaint,
                             self.schedule, uc_type,
+                            self.cfg.parameterization,
                         )
                         return run_window(body, x, start, n)
 

@@ -273,3 +273,116 @@ class TestUniPCWindowed:
         np.testing.assert_allclose(
             np.asarray(out.latents), np.asarray(ref.latents), atol=1e-4
         )
+
+
+class TestParameterization:
+    """Non-eps model prediction targets (reference DDIM hooks
+    sampler.py:183-206, UniPC model_wrapper uni_pc.py:156-311)."""
+
+    def test_out_to_eps_algebra(self, rng):
+        from t2v.diffusion.sampling import make_out_to_eps
+
+        t = 417
+        a = float(SCHED.sqrt_alphas_cumprod[t])
+        b = float(SCHED.sqrt_one_minus_alphas_cumprod[t])
+        x0 = rng.normal(size=SHAPE).astype(np.float32)
+        eps = rng.normal(size=SHAPE).astype(np.float32)
+        xt = a * x0 + b * eps
+        v = a * eps - b * x0
+        conv_v = make_out_to_eps("v", SCHED)
+        conv_x0 = make_out_to_eps("x0", SCHED)
+        np.testing.assert_allclose(
+            np.asarray(conv_v(jnp.asarray(v), jnp.asarray(xt), jnp.float32(t))),
+            eps, rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(conv_x0(jnp.asarray(x0), jnp.asarray(xt), jnp.float32(t))),
+            eps, rtol=1e-4, atol=1e-4,
+        )
+        # eps mode is a passthrough
+        assert make_out_to_eps("eps", None)(eps, xt, t) is eps
+
+    def test_out_to_eps_learned_variance_passthrough(self, rng):
+        from t2v.diffusion.sampling import make_out_to_eps
+
+        x = jnp.asarray(rng.normal(size=SHAPE).astype(np.float32))
+        out = jnp.asarray(rng.normal(size=SHAPE[:-1] + (8,)).astype(np.float32))
+        got = make_out_to_eps("v", SCHED)(out, x, jnp.float32(100))
+        assert got.shape == out.shape
+        np.testing.assert_allclose(np.asarray(got[..., 4:]), np.asarray(out[..., 4:]))
+
+    def _v_model(self):
+        sa = jnp.asarray(SCHED.sqrt_alphas_cumprod)
+        s1ma = jnp.asarray(SCHED.sqrt_one_minus_alphas_cumprod)
+
+        def v_model(x, t, ctx):
+            # same prediction as identity_eps_model, expressed as v:
+            # v = (eps - sqrt(1-a)*x) / sqrt(a)
+            ti = jnp.asarray(t, jnp.int32).reshape((-1,) + (1,) * (x.ndim - 1))
+            return (0.1 * x - s1ma[ti] * x) / sa[ti]
+
+        return v_model
+
+    @pytest.mark.parametrize("name", ["DDIM_Gaussian", "DDIM"])
+    def test_scan_samplers_v_matches_eps(self, name):
+        cond = jnp.zeros((1, 7, 8))
+        key = rng_lib.key_for_seed(11)
+        ref = sample_loop(
+            identity_eps_model, SCHED, steps=8, shape=SHAPE, cond=cond,
+            sampler_name=name, key=key,
+        )
+        out = sample_loop(
+            self._v_model(), SCHED, steps=8, shape=SHAPE, cond=cond,
+            sampler_name=name, key=key, parameterization="v",
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+    def test_unipc_v_matches_eps(self):
+        # UniPC converts via the plan's continuous-time marginals; build the
+        # v model from the same continuous tables (interp over t_input).
+        p = unipc_mod.plan(SCHED, 8)
+        t_in = jnp.asarray(p.t_input[::-1].copy(), jnp.float32)
+        al = jnp.asarray(p.alpha[::-1].copy(), jnp.float32)
+        si = jnp.asarray(p.sigma[::-1].copy(), jnp.float32)
+
+        def v_model(x, t, ctx):
+            a = jnp.interp(t[0], t_in, al)
+            s = jnp.interp(t[0], t_in, si)
+            eps = 0.1 * x
+            x0 = (x - s * eps) / a
+            return (a * x - x0) / s
+
+        cond = jnp.zeros((1, 7, 8))
+        key = rng_lib.key_for_seed(5)
+        ref = sample_loop(
+            identity_eps_model, SCHED, steps=8, shape=SHAPE, cond=cond,
+            sampler_name="UniPC", key=key,
+        )
+        out = sample_loop(
+            v_model, SCHED, steps=8, shape=SHAPE, cond=cond,
+            sampler_name="UniPC", key=key, parameterization="v",
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-4)
+
+    def test_train_loss_targets(self):
+        from t2v.diffusion.schedules import DiffusionSchedule
+        from t2v.parallel.train import diffusion_loss, schedule_tables
+
+        tables = schedule_tables(SCHED)
+        batch = {
+            "latents": jnp.ones(SHAPE) * 0.5,
+            "context": jnp.zeros((1, 7, 8)),
+        }
+        key = jax.random.key(0)
+
+        losses = {}
+        for pz in ("eps", "x0", "v"):
+            losses[pz] = float(
+                diffusion_loss(
+                    lambda p, x, t, c: jnp.zeros_like(x), None, tables, batch,
+                    key, pz,
+                )
+            )
+        # zero prediction: eps-loss = E[noise^2] ~ 1, x0-loss = 0.25 exactly
+        assert abs(losses["x0"] - 0.25) < 1e-6
+        assert losses["eps"] != losses["x0"] != losses["v"]
