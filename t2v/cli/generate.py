@@ -63,6 +63,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--add-soundtrack", default="None", choices=["None", "File", "Init Video"])
     p.add_argument("--soundtrack-path", default="")
     p.add_argument("--skip-video-creation", action="store_true")
+    p.add_argument("--upscale", action="store_true", help="upscale output frames (r_upscale_video)")
+    p.add_argument("--upscale-factor", default="x2", choices=["x2", "x3", "x4"])
+    p.add_argument("--upscale-model", default="realesr-animevideov3",
+                   help="resampling flavor; 'bicubic' or Lanczos otherwise")
+    p.add_argument("--interpolate", type=int, default=0, metavar="X",
+                   help="optical-flow frame interpolation x-amount (0/1 = off)")
+    p.add_argument("--slow-mo", type=int, default=0, metavar="AMT",
+                   help="with --interpolate: slow motion by AMT instead of raising fps")
     # runtime
     p.add_argument("--fp32", action="store_true", help="fp32 weights (default bf16)")
     p.add_argument("--tiny", action="store_true", help="tiny random-weight model (smoke test, no checkpoints)")
@@ -126,6 +134,13 @@ def main(argv=None) -> int:
         ffmpeg_preset=ns.preset,
         add_soundtrack=ns.add_soundtrack,
         soundtrack_path=ns.soundtrack_path,
+        r_upscale_video=ns.upscale,
+        r_upscale_factor=ns.upscale_factor,
+        r_upscale_model=ns.upscale_model,
+        frame_interpolation_engine=("FILM" if ns.interpolate > 1 else "None"),
+        frame_interpolation_x_amount=max(ns.interpolate, 1),
+        frame_interpolation_slow_mo_enabled=ns.slow_mo > 0,
+        frame_interpolation_slow_mo_amount=max(ns.slow_mo, 1),
     )
 
     policy = Policy.fp32() if ns.fp32 else Policy.bf16()

@@ -263,12 +263,38 @@ def _emit_batch(
 
         RunManifest.from_args(args, seed=seed).write(batch_dir)
 
+    # functional upscale / frame interpolation (the reference carries these
+    # fields but never implements them — args.py:277-290 stubs)
+    fps = out_args.fps
+    if out_args.r_upscale_video or (
+        (out_args.frame_interpolation_engine or "None") != "None"
+    ):
+        from t2v.media.postprocess import postprocess_frames
+
+        frames, fps = postprocess_frames(frames, out_args)
+        keep = (
+            out_args.r_upscale_video and out_args.r_upscale_keep_imgs
+        ) or (
+            (out_args.frame_interpolation_engine or "None") != "None"
+            and out_args.frame_interpolation_keep_imgs
+        )
+        if save_frames and keep:
+            import cv2
+
+            post_dir = os.path.join(batch_dir, "post")
+            os.makedirs(post_dir, exist_ok=True)
+            for i, frame in enumerate(frames):
+                cv2.imwrite(
+                    os.path.join(post_dir, f"{i:09d}.png"),
+                    cv2.cvtColor(frame, cv2.COLOR_RGB2BGR),
+                )
+
     mp4_path = os.path.join(batch_dir, "vid.mp4")
     if not out_args.skip_video_creation:
         ffmpeg_stitch_video(
             frames=frames,
             out_path=mp4_path,
-            fps=out_args.fps,
+            fps=fps,
             crf=out_args.ffmpeg_crf,
             preset=out_args.ffmpeg_preset,
             metadata_comment=infotext,
