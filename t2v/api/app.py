@@ -91,6 +91,20 @@ def create_app(pipe=None, models_root: Optional[str] = None):
         state.skip()
         return JSONResponse(content={"skipped": True})
 
+    @app.post("/t2v/metadata")
+    async def t2v_metadata(file: UploadFile):
+        """MP4 ©cmt metadata viewer (reference UI accordion,
+        args.py:160-175): returns the infotext comment atom."""
+        import tempfile
+
+        from t2v.media.video import read_mp4_metadata_comment
+
+        with tempfile.NamedTemporaryFile(suffix=".mp4") as tmp:
+            tmp.write(await file.read())
+            tmp.flush()
+            comment = read_mp4_metadata_comment(tmp.name)
+        return JSONResponse(content={"comment": comment})
+
     @app.post("/t2v/run")
     async def t2v_run(
         prompt: str,

@@ -99,6 +99,20 @@ class T2VRequestHandler(BaseHTTPRequestHandler):
         if parsed.path == "/t2v/skip":
             state.skip()
             return self._json({"skipped": True})
+        if parsed.path == "/t2v/metadata":
+            import tempfile
+
+            from t2v.media.video import read_mp4_metadata_comment
+
+            uploads = self._read_uploads()
+            blob = next(iter(uploads.values()), None)
+            if blob is None:
+                return self._json({"detail": "no file uploaded"}, 422)
+            with tempfile.NamedTemporaryFile(suffix=".mp4") as tmp:
+                tmp.write(blob)
+                tmp.flush()
+                comment = read_mp4_metadata_comment(tmp.name)
+            return self._json({"comment": comment})
         if parsed.path != "/t2v/run":
             return self._json({"detail": "Not Found"}, 404)
 

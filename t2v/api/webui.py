@@ -53,6 +53,11 @@ INDEX_HTML = """<!doctype html>
 <div id="barbox"><div id="bar"></div></div>
 <div id="status"></div>
 <div id="out"></div>
+<details><summary>Metadata viewer</summary>
+  <input id="meta_file" type="file" accept="video/mp4">
+  <button id="meta_btn">Get metadata</button>
+  <pre id="meta_out"></pre>
+</details>
 <script>
 const $ = id => document.getElementById(id);
 let polling = null;
@@ -95,6 +100,14 @@ $('generate').onclick = async () => {
 };
 $('interrupt').onclick = () => fetch('/t2v/interrupt', {method: 'POST'});
 $('skip').onclick = () => fetch('/t2v/skip', {method: 'POST'});
+$('meta_btn').onclick = async () => {
+  const f = $('meta_file').files[0];
+  if (!f) { $('meta_out').textContent = 'choose an .mp4 first'; return; }
+  const fd = new FormData(); fd.append('file', f);
+  const r = await fetch('/t2v/metadata', {method: 'POST', body: fd});
+  const j = await r.json();
+  $('meta_out').textContent = j.comment || '(no ©cmt metadata atom)';
+};
 </script>
 </body>
 </html>

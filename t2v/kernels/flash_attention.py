@@ -47,13 +47,16 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
-    k = k_ref[0].astype(jnp.float32)  # (bkv, d)
-    v = v_ref[0].astype(jnp.float32)  # (bkv, d)
+    # keep the matmul operands in their storage dtype (bf16 runs the MXU at
+    # full rate; fp32 operands quarter it) and accumulate in f32 via
+    # preferred_element_type; the scale is applied to the f32 scores
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (bkv, d)
+    v = v_ref[0]  # (bkv, d)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bq, bkv)
+    ) * scale  # (bq, bkv) f32
 
     # mask out-of-range kv positions (wrapper pads S up to block multiple)
     first_oob = kv_len - kv_idx * block_kv
@@ -70,7 +73,8 @@ def _flash_kernel(
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
@@ -194,11 +198,12 @@ def flash_attention(
 # rowsum(dO_i * O_i) is precomputed in XLA (one cheap fused reduction).
 
 
-def _recompute_p(q_s, k, lse, kv_idx, kv_len, block_kv):
-    """p = exp(q·kᵀ·scale − lse) with padded kv columns zeroed."""
+def _recompute_p(q, k, scale, lse, kv_idx, kv_len, block_kv):
+    """p = exp(q·kᵀ·scale − lse) with padded kv columns zeroed. q/k stay in
+    storage dtype (full-rate MXU); scores accumulate in f32."""
     s = jax.lax.dot_general(
-        q_s, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
     p = jnp.exp(s - lse)
     if kv_len % block_kv != 0:
         first_oob = kv_len - kv_idx * block_kv
@@ -220,17 +225,18 @@ def _flash_bwd_dkv_kernel(
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0].astype(jnp.float32)  # (bq, d)
-    k = k_ref[0].astype(jnp.float32)  # (bkv, d)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)  # (bq, d)
+    q = q_ref[0]  # (bq, d) storage dtype — full-rate MXU operands
+    k = k_ref[0]  # (bkv, d)
+    v = v_ref[0]
+    do = do_ref[0]  # (bq, d)
     lse = lse_ref[0]  # (bq, 1)
     delta = delta_ref[0]  # (bq, 1)
 
-    p = _recompute_p(q * scale, k, lse, kv_idx, kv_len, block_kv)  # (bq, bkv)
+    p = _recompute_p(q, k, scale, lse, kv_idx, kv_len, block_kv)  # (bq, bkv) f32
     # dv += pᵀ · dO
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     # dp = dO · vᵀ ; ds = p ∘ (dp − delta) · scale ; dk += dsᵀ · q
     dp = jax.lax.dot_general(
@@ -238,7 +244,8 @@ def _flash_bwd_dkv_kernel(
     )
     ds = p * (dp - delta) * scale
     dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(q_idx == n_q - 1)
@@ -258,20 +265,21 @@ def _flash_bwd_dq_kernel(
     def _():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0]  # (bq, 1)
     delta = delta_ref[0]  # (bq, 1)
 
-    p = _recompute_p(q * scale, k, lse, kv_idx, kv_len, block_kv)
+    p = _recompute_p(q, k, scale, lse, kv_idx, kv_len, block_kv)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     ds = p * (dp - delta) * scale
     dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(kv_idx == n_kv - 1)

@@ -240,3 +240,60 @@ def save_video_grid(
     return ffmpeg_stitch_video(
         frames=make_video_grid(videos, nrow=nrow), out_path=out_path, fps=fps, **kw
     )
+
+
+# ---------------------------------------------------------------------------
+# MP4 metadata reading (the reference UI's "Metadata viewer" reads the
+# ©cmt atom with mutagen.MP4, args.py:170-175; this is a dependency-free
+# ISO-BMFF box walk: moov → udta → meta → ilst → ©cmt → data)
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) for boxes in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        btype = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit extended size
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:  # box extends to end of file
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _find_box(buf: bytes, start: int, end: int, btype: bytes, fullbox: bool = False):
+    for t, s, e in _iter_boxes(buf, start, end):
+        if t == btype:
+            return (s + 4, e) if fullbox else (s, e)  # fullbox: skip ver/flags
+    return None
+
+
+def read_mp4_metadata_comment(path: str) -> Optional[str]:
+    """Return the MP4 comment (©cmt) metadata string, or None.
+
+    Reads back what ``ffmpeg_stitch_video`` writes via ``-metadata
+    comment=`` (the infotext provenance atom, reference
+    video_audio_utils.py:206-210).
+    """
+    with open(path, "rb") as f:
+        buf = f.read()
+    span = (0, len(buf))
+    for btype, fullbox in (
+        (b"moov", False), (b"udta", False), (b"meta", True), (b"ilst", False),
+        (b"\xa9cmt", False), (b"data", False),
+    ):
+        span = _find_box(buf, span[0], span[1], btype, fullbox)
+        if span is None:
+            return None
+    s, e = span
+    # data atom payload: 4-byte type indicator + 4-byte locale, then text
+    if e - s < 8:
+        return None
+    return buf[s + 8 : e].decode("utf-8", errors="replace")

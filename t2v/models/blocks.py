@@ -32,6 +32,7 @@ import numpy as np
 
 from t2v.core.dtypes import Policy
 from t2v.kernels.attention import attention as _attention
+from t2v.kernels.attention import attention_mh as _attention_mh
 
 
 def sinusoidal_embedding(t: jax.Array, dim: int) -> jax.Array:
@@ -94,17 +95,9 @@ class CrossAttention(nn.Module):
 
         b, n, _ = q.shape
         s = k.shape[1]
-        fold = lambda t, length: (
-            t.reshape(b, length, self.heads, self.dim_head)
-            .transpose(0, 2, 1, 3)
-            .reshape(b * self.heads, length, self.dim_head)
-        )
-        out = _attention(fold(q, n), fold(k, s), fold(v, s))
-        out = (
-            out.reshape(b, self.heads, n, self.dim_head)
-            .transpose(0, 2, 1, 3)
-            .reshape(b, n, inner)
-        )
+        unfold = lambda t, length: t.reshape(b, length, self.heads, self.dim_head)
+        out = _attention_mh(unfold(q, n), unfold(k, s), unfold(v, s))
+        out = out.reshape(b, n, inner)
         return dense(self.query_dim, "to_out")(out)
 
 

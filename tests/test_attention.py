@@ -109,3 +109,32 @@ class TestFlashBackward:
         gf = jax.grad(loss_flash)(q)
         gx = jax.grad(loss_xla)(q)
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=2e-4, atol=2e-4)
+
+
+class TestMultiheadEntry:
+    """attention_mh (B, N, H, D) must match per-head folding through the
+    single-head entries (the transpose-free temporal-attention path)."""
+
+    def test_mh_matches_folded(self, rng):
+        from t2v.kernels.attention import attention_mh
+
+        b, n, s, h, d = 3, 24, 24, 4, 16
+        q = jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+        fold = lambda t: t.transpose(0, 2, 1, 3).reshape(b * h, -1, d)
+        ref = xla_attention(fold(q), fold(k), fold(v))
+        ref = ref.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+        out = attention_mh(q, k, v, force="xla")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_mh_cross_attention_lengths(self, rng):
+        from t2v.kernels.attention import attention_mh
+
+        b, n, s, h, d = 2, 8, 77, 2, 8
+        q = jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+        out = attention_mh(q, k, v)
+        assert out.shape == (b, n, h, d)
+        assert np.isfinite(np.asarray(out)).all()

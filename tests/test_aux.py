@@ -164,3 +164,60 @@ class TestVideoGrid:
 
         with np.testing.assert_raises(ValueError):
             make_video_grid([np.zeros((2, 8, 8, 3), np.uint8), np.zeros((2, 4, 4, 3), np.uint8)])
+
+
+class TestMP4Metadata:
+    """©cmt comment-atom reader (media/video.py box walk; the reference
+    viewer used mutagen.MP4, args.py:170-175)."""
+
+    @staticmethod
+    def _box(btype: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    def _mp4_with_comment(self, text: str) -> bytes:
+        b = self._box
+        data = b(b"data", (1).to_bytes(4, "big") + b"\0\0\0\0" + text.encode())
+        cmt = b(b"\xa9cmt", data)
+        ilst = b(b"ilst", cmt)
+        hdlr = b(b"hdlr", b"\0" * 24)
+        meta = b(b"meta", b"\0\0\0\0" + hdlr + ilst)  # fullbox ver/flags
+        udta = b(b"udta", meta)
+        moov = b(b"moov", udta)
+        ftyp = b(b"ftyp", b"isom\0\0\2\0isomiso2")
+        return ftyp + moov
+
+    def test_reads_comment(self, tmp_path):
+        from t2v.media.video import read_mp4_metadata_comment
+
+        text = "prompt: a cat\nSteps: 30, Sampler: DDIM_Gaussian"
+        p = tmp_path / "v.mp4"
+        p.write_bytes(self._mp4_with_comment(text))
+        assert read_mp4_metadata_comment(str(p)) == text
+
+    def test_no_comment_returns_none(self, tmp_path):
+        from t2v.media.video import read_mp4_metadata_comment
+
+        b = self._box
+        p = tmp_path / "v.mp4"
+        p.write_bytes(b(b"ftyp", b"isom") + b(b"moov", b(b"mvhd", b"\0" * 96)))
+        assert read_mp4_metadata_comment(str(p)) is None
+
+    def test_truncated_file(self, tmp_path):
+        from t2v.media.video import read_mp4_metadata_comment
+
+        p = tmp_path / "v.mp4"
+        p.write_bytes(self._mp4_with_comment("x")[:20])
+        assert read_mp4_metadata_comment(str(p)) is None
+
+    def test_api_endpoint(self, tmp_path):
+        try:
+            from fastapi.testclient import TestClient
+        except ImportError:
+            pytest.skip("fastapi not available")
+        from t2v.api.app import create_app
+
+        client = TestClient(create_app())
+        blob = self._mp4_with_comment("hello meta")
+        r = client.post("/t2v/metadata", files={"file": ("v.mp4", blob, "video/mp4")})
+        assert r.status_code == 200
+        assert r.json()["comment"] == "hello meta"
