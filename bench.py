@@ -72,21 +72,27 @@ def main() -> None:
 
     @jax.jit
     def decode(vae_params, z):
-        return vae.apply(vae_params, z / 0.18215, method=AutoencoderKL.decode)
+        frames = vae.apply(vae_params, z / 0.18215, method=AutoencoderKL.decode)
+        # scalar rides out of the SAME executable: float()ing it is the
+        # completion barrier (no extra eager dispatch through the tunnel)
+        return frames, jnp.float32(frames.sum())
 
-    # warmup / compile
+    # warmup / compile. NOTE: through the axon tunnel block_until_ready()
+    # can ack before the device work completes — only an actual value
+    # readback (float()) is a reliable barrier (see
+    # .claude/skills/verify/SKILL.md).
     key = jax.random.key(42)
     z = denoise(params, key)
-    frames = decode(vae_params, z[0])
-    frames.block_until_ready()
+    _, s = decode(vae_params, z[0])
+    float(s)
 
     times = []
     for i in range(3):
         k = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
         z = denoise(params, k)
-        frames = decode(vae_params, z[0])
-        frames.block_until_ready()
+        _, s = decode(vae_params, z[0])
+        float(s)
         times.append(time.perf_counter() - t0)
 
     sec = min(times)

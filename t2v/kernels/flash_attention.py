@@ -166,8 +166,8 @@ def flash_attention_fwd(
     k: jax.Array,
     v: jax.Array,
     scale: float | None = None,
-    block_q: int = 256,
-    block_kv: int = 256,
+    block_q: int = 1024,
+    block_kv: int = 1024,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Training forward with residuals: (out (B, N, D), lse (B, N))."""
@@ -182,8 +182,8 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     scale: float | None = None,
-    block_q: int = 256,
-    block_kv: int = 256,
+    block_q: int = 1024,
+    block_kv: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     """Blockwise attention, q: (B, N, D), k/v: (B, S, D) -> (B, N, D).
@@ -298,8 +298,8 @@ def flash_attention_bwd(
     lse: jax.Array,
     do: jax.Array,
     scale: float | None = None,
-    block_q: int = 256,
-    block_kv: int = 256,
+    block_q: int = 1024,
+    block_kv: int = 1024,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """(dq, dk, dv) from saved forward residuals."""

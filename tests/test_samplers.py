@@ -386,3 +386,36 @@ class TestParameterization:
         # zero prediction: eps-loss = E[noise^2] ~ 1, x0-loss = 0.25 exactly
         assert abs(losses["x0"] - 0.25) < 1e-6
         assert losses["eps"] != losses["x0"] != losses["v"]
+
+    def test_pipeline_honours_parameterization(self):
+        """A v-parameterized tiny pipeline must produce different latents
+        from the same weights interpreted as eps (the config field reaches
+        the sampler)."""
+        import dataclasses
+
+        from t2v.core.config import ModelScopeUNetConfig, T2VArgs
+        from t2v.pipeline.pipeline import ModelScopePipeline
+
+        args = T2VArgs(
+            prompt="x", n_prompt="n", steps=4, frames=2, width=32, height=32,
+            seed=7, sampler="DDIM",
+        )
+        pipe = ModelScopePipeline.random_init()
+        # perturb zero-init gates so the UNet output is nonzero
+        pipe = dataclasses.replace(
+            pipe,
+            unet_params=jax.tree.map(
+                lambda a: a + 0.01 if a.size and not np.asarray(a).any() else a,
+                pipe.unet_params,
+            ),
+        )
+        ref = pipe.infer(args)
+        pipe_v = dataclasses.replace(
+            pipe,
+            unet_cfg=dataclasses.replace(pipe.unet_cfg, parameterization="v"),
+            _sample_cache={},
+        )
+        out = pipe_v.infer(args)
+        assert not np.allclose(
+            np.asarray(out.latents), np.asarray(ref.latents), atol=1e-5
+        )
