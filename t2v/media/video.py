@@ -297,3 +297,23 @@ def read_mp4_metadata_comment(path: str) -> Optional[str]:
     if e - s < 8:
         return None
     return buf[s + 8 : e].decode("utf-8", errors="replace")
+
+
+def save_image_sheet(
+    frames: list[np.ndarray], out_path: str, ncol: int | None = None
+) -> str:
+    """Save frames as one contact-sheet PNG (reference ``savenp2sheet``,
+    lvdm saving_utils.py:36-65: row-major hconcat/vconcat grid). Frames
+    are RGB uint8 (H, W, 3); written via cv2 as BGR."""
+    n = len(frames)
+    if n == 0:
+        raise ValueError("no frames to sheet")
+    ncol = ncol or min(n, 8)
+    nrow = (n + ncol - 1) // ncol
+    h, w = frames[0].shape[:2]
+    sheet = np.zeros((nrow * h, ncol * w, 3), np.uint8)
+    for i, f in enumerate(frames):
+        r, c = divmod(i, ncol)
+        sheet[r * h : (r + 1) * h, c * w : (c + 1) * w] = f
+    cv2.imwrite(out_path, cv2.cvtColor(sheet, cv2.COLOR_RGB2BGR))
+    return out_path

@@ -221,3 +221,24 @@ class TestMP4Metadata:
         r = client.post("/t2v/metadata", files={"file": ("v.mp4", blob, "video/mp4")})
         assert r.status_code == 200
         assert r.json()["comment"] == "hello meta"
+
+
+class TestImageSheet:
+    def test_sheet_layout(self, tmp_path):
+        from t2v.media.video import save_image_sheet
+
+        frames = [np.full((8, 6, 3), i * 10, np.uint8) for i in range(5)]
+        p = str(tmp_path / "sheet.png")
+        save_image_sheet(frames, p, ncol=3)
+        import cv2
+
+        img = cv2.imread(p)
+        assert img.shape == (16, 18, 3)  # 2 rows x 3 cols of 8x6
+        assert (img[0:8, 0:6] == 0).all()
+        assert (img[8:16, 6:12] == 40).all()  # frame 4 at row 1, col 1
+
+    def test_empty_raises(self, tmp_path):
+        from t2v.media.video import save_image_sheet
+
+        with pytest.raises(ValueError):
+            save_image_sheet([], str(tmp_path / "x.png"))
