@@ -81,6 +81,7 @@ def dp_sample(
     callback_interval=None,
     shard_frames: bool = False,
     noise=None,  # precomputed (n, *sample_shape) noise (already placed)
+    parameterization: str = "eps",
 ):
     """Sample n videos in one sharded computation. Returns (n, F, H, W, C).
 
@@ -115,5 +116,6 @@ def dp_sample(
         noise=noise,
         callback=callback,
         callback_interval=callback_interval,
+        parameterization=parameterization,
     )
     return x0

@@ -374,6 +374,9 @@ def _run_dp(
                 sample_shape=sample_shape, n_samples=n, cond=cond,
                 uncond=uncond, guidance_scale=args.cfg_scale, eta=args.eta,
                 sampler_name=sampler, mesh=mesh, noise=noise,
+                parameterization=(
+                    pipe.unet_cfg if is_ms else pipe.cfg
+                ).parameterization,
             )
 
         fn = jax.jit(f)
