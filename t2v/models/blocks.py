@@ -118,7 +118,11 @@ class GEGLUFeedForward(nn.Module):
             param_dtype=self.policy.param_dtype,
         )(x)
         h, gate = jnp.split(proj, 2, axis=-1)
-        h = h * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(h.dtype)
+        # gelu in compute dtype: the reference runs GEGLU under fp16
+        # autocast (t2v_pipeline.py:275), and an f32 upcast here forces XLA
+        # to materialise the doubled projection in f32 — 6.75 GB at
+        # 1024×576 temporal blocks (OOM on one chip)
+        h = h * jax.nn.gelu(gate, approximate=False)
         return nn.Dense(
             self.dim,
             name="out",
