@@ -50,8 +50,35 @@ def sinusoidal_embedding(t: jax.Array, dim: int) -> jax.Array:
     return x
 
 
+class _GNScaleBias(nn.Module):
+    """Bare scale/bias parameters with the same names, shapes, and init as
+    ``nn.GroupNorm``'s, so a module that computes the normalisation itself
+    stays checkpoint-compatible with one that calls ``nn.GroupNorm``."""
+
+    features: int
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+        )
+        return scale, bias
+
+
 class GroupNorm32(nn.Module):
-    """GroupNorm(32) with float32 statistics."""
+    """GroupNorm(32) with float32 statistics.
+
+    Also accepts an ``(a, b)`` tuple, treated as the virtual channel concat
+    ``[a; b]`` WITHOUT materialising it: group statistics are computed
+    jointly from per-part partial sums and each part is normalised in
+    place (returning a tuple). Groups that straddle the concat boundary
+    are handled exactly. This lets the UNet decoder avoid the HBM
+    round-trip of the skip-connection concat (t2v_model.py:316-318 does
+    ``th.cat`` + GroupNorm; here the cat never hits memory)."""
 
     eps: float = 1e-5
     num_groups: int = 32
@@ -59,6 +86,8 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if isinstance(x, tuple):
+            return self._pair(*x)
         dtype = x.dtype
         out = nn.GroupNorm(
             num_groups=self.num_groups,
@@ -67,6 +96,83 @@ class GroupNorm32(nn.Module):
             param_dtype=self.policy.param_dtype,
         )(x.astype(jnp.float32))
         return out.astype(dtype)
+
+    def _pair(self, a, b):
+        ca, cb = a.shape[-1], b.shape[-1]
+        c = ca + cb
+        g = c // self.num_groups
+        # same child name ("GroupNorm_0") and param names as the single path
+        scale, bias = _GNScaleBias(
+            features=c, param_dtype=self.policy.param_dtype, name="GroupNorm_0"
+        )()
+        red = tuple(range(1, a.ndim - 1))
+        n_el = int(np.prod([a.shape[i] for i in red]))
+        a32, b32 = a.astype(jnp.float32), b.astype(jnp.float32)
+        # per-channel partial sums -> tiny (B, C) tensors; the big parts are
+        # only read, never re-written as a concat
+        s = jnp.concatenate([a32.sum(red), b32.sum(red)], axis=-1)
+        s2 = jnp.concatenate(
+            [(a32 * a32).sum(red), (b32 * b32).sum(red)], axis=-1
+        )
+        bsz = a.shape[0]
+        gs = s.reshape(bsz, self.num_groups, g).sum(-1)
+        gs2 = s2.reshape(bsz, self.num_groups, g).sum(-1)
+        cnt = n_el * g
+        mu = gs / cnt
+        var = gs2 / cnt - mu * mu
+        inv = jax.lax.rsqrt(var + self.eps)
+        mu_c = jnp.repeat(mu, g, axis=-1)  # (B, C)
+        inv_c = jnp.repeat(inv, g, axis=-1)
+        scale32 = scale.astype(jnp.float32)
+        bias32 = bias.astype(jnp.float32)
+
+        def norm(x32, sl, dtype):
+            shp = (bsz,) + (1,) * (x32.ndim - 2) + (-1,)
+            m = mu_c[:, sl].reshape(shp)
+            iv = inv_c[:, sl].reshape(shp)
+            pshp = (1,) * (x32.ndim - 1) + (-1,)
+            sc = scale32[sl].reshape(pshp)
+            bi = bias32[sl].reshape(pshp)
+            return ((x32 - m) * iv * sc + bi).astype(dtype)
+
+        return norm(a32, slice(0, ca), a.dtype), norm(b32, slice(ca, c), b.dtype)
+
+
+class SplitConv(nn.Module):
+    """Conv over a virtual channel-concat input ``[a; b]`` computed as two
+    convs with the kernel sliced along input channels —
+    ``conv(cat(a, b)) == conv_a(a) + conv_b(b)`` — so the concat is never
+    materialised. Param tree is identical to ``nn.Conv`` (kernel/bias)."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, a, b):
+        kh, kw = self.kernel_size
+        cin = a.shape[-1] + b.shape[-1]
+        ca = a.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, cin, self.features),
+            self.policy.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.policy.param_dtype
+        )
+        cd = self.policy.compute_dtype
+        k = kernel.astype(cd)
+        pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+        dn = jax.lax.conv_dimension_numbers(
+            a.shape, k[:, :, :ca].shape, ("NHWC", "HWIO", "NHWC")
+        )
+        conv = lambda x, kk: jax.lax.conv_general_dilated(
+            x.astype(cd), kk, window_strides=(1, 1), padding=pad,
+            dimension_numbers=dn,
+        )
+        return conv(a, k[:, :, :ca]) + conv(b, k[:, :, ca:]) + bias.astype(cd)
 
 
 class CrossAttention(nn.Module):
@@ -307,6 +413,10 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb):
+        # decoder blocks may pass the (upsampled, skip) pair instead of
+        # their channel concat; the concat is then never materialised
+        # (joint-stats GroupNorm + input-channel-split convs)
+        pair = isinstance(x, tuple)
         conv = lambda feats, name, zero=False: nn.Conv(
             feats,
             kernel_size=(3, 3),
@@ -316,9 +426,16 @@ class ResBlock(nn.Module):
             dtype=self.policy.compute_dtype,
             param_dtype=self.policy.param_dtype,
         )
-        h = GroupNorm32(policy=self.policy, name="in_norm")(x)
-        h = jax.nn.silu(h)
-        h = conv(self.out_channels, "in_conv")(h)
+        if pair:
+            na, nb = GroupNorm32(policy=self.policy, name="in_norm")(x)
+            h = SplitConv(
+                features=self.out_channels, kernel_size=(3, 3),
+                policy=self.policy, name="in_conv",
+            )(jax.nn.silu(na), jax.nn.silu(nb))
+        else:
+            h = GroupNorm32(policy=self.policy, name="in_norm")(x)
+            h = jax.nn.silu(h)
+            h = conv(self.out_channels, "in_conv")(h)
 
         emb_out = nn.Dense(
             self.out_channels,
@@ -332,7 +449,15 @@ class ResBlock(nn.Module):
         h = jax.nn.silu(h)
         h = conv(self.out_channels, "out_conv", zero=True)(h)
 
-        if self.out_channels == self.channels:
+        if pair:
+            # channel concat widens the input, so the 1x1 projection is
+            # always present on this path
+            assert self.out_channels != self.channels
+            skip = SplitConv(
+                features=self.out_channels, kernel_size=(1, 1),
+                policy=self.policy, name="skip",
+            )(*x)
+        elif self.out_channels == self.channels:
             skip = x
         else:
             skip = nn.Conv(

@@ -317,8 +317,11 @@ class UNetSD(nn.Module):
         for di, entry in enumerate(dec_entries):
             if return_deep and not cached and di == n_dec - split:
                 deep_out = x
-            x = jnp.concatenate([x, xs.pop()], axis=-1)
-            for d in entry:
+            # skip-concat (t2v_model.py:316-318) is virtual: the leading
+            # res block takes the (x, skip) pair and never materialises
+            # the concatenated tensor (joint-stats GN + split convs)
+            x = self._apply_block(entry[0], (x, xs.pop()), e_f, ctx_f, b, f)
+            for d in entry[1:]:
                 x = self._apply_block(d, x, e_f, ctx_f, b, f)
 
         # head (t2v_model.py:321-326), zero-init conv
