@@ -142,37 +142,46 @@ class SplitConv(nn.Module):
     """Conv over a virtual channel-concat input ``[a; b]`` computed as two
     convs with the kernel sliced along input channels —
     ``conv(cat(a, b)) == conv_a(a) + conv_b(b)`` — so the concat is never
-    materialised. Param tree is identical to ``nn.Conv`` (kernel/bias)."""
+    materialised. Param tree is identical to ``nn.Conv`` (kernel/bias).
+    ``kernel_size`` may be 2-D ``(kh, kw)`` or 3-D ``(kt, kh, kw)``;
+    padding defaults to SAME-for-stride-1 (``k // 2`` per dim)."""
 
     features: int
-    kernel_size: tuple[int, int]
+    kernel_size: tuple[int, ...]
+    padding: Optional[tuple[tuple[int, int], ...]] = None
+    zero_init: bool = False
     policy: Policy = Policy()
 
     @nn.compact
     def __call__(self, a, b):
-        kh, kw = self.kernel_size
+        ks = self.kernel_size
+        nd = len(ks)
         cin = a.shape[-1] + b.shape[-1]
         ca = a.shape[-1]
+        init = (
+            nn.initializers.zeros if self.zero_init
+            else nn.initializers.lecun_normal()
+        )
         kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (kh, kw, cin, self.features),
-            self.policy.param_dtype,
+            "kernel", init, (*ks, cin, self.features), self.policy.param_dtype
         )
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,), self.policy.param_dtype
         )
         cd = self.policy.compute_dtype
         k = kernel.astype(cd)
-        pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+        pad = self.padding or tuple((kk // 2, kk // 2) for kk in ks)
+        spatial = "DHW"[-nd:]
         dn = jax.lax.conv_dimension_numbers(
-            a.shape, k[:, :, :ca].shape, ("NHWC", "HWIO", "NHWC")
+            a.shape,
+            k[..., :ca, :].shape,
+            ("N" + spatial + "C", spatial + "IO", "N" + spatial + "C"),
         )
         conv = lambda x, kk: jax.lax.conv_general_dilated(
-            x.astype(cd), kk, window_strides=(1, 1), padding=pad,
+            x.astype(cd), kk, window_strides=(1,) * nd, padding=pad,
             dimension_numbers=dn,
         )
-        return conv(a, k[:, :, :ca]) + conv(b, k[:, :, ca:]) + bias.astype(cd)
+        return conv(a, k[..., :ca, :]) + conv(b, k[..., ca:, :]) + bias.astype(cd)
 
 
 class CrossAttention(nn.Module):

@@ -119,8 +119,22 @@ class Conv3dFactorized(nn.Module):
     def __call__(self, x):
         p = self.policy
         init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
-        b, t, h, w, c = x.shape
         sk, sp, ss = self.spatial_kernel, self.spatial_padding, self.spatial_stride
+        if isinstance(x, tuple):
+            # virtual channel-concat input: kernel split along input
+            # channels, concat never materialised (decoder skip path)
+            assert ss == 1
+            return B.SplitConv(
+                features=self.features,
+                kernel_size=(self.kernel_size_t, sk, sk),
+                padding=(
+                    (self.padding_t, self.padding_t), (sp, sp), (sp, sp)
+                ),
+                zero_init=self.zero_init,
+                policy=p,
+                name="conv",
+            )(*x)
+        b, t, h, w, c = x.shape
         if self.kernel_size_t == 1:
             conv = nn.Conv(
                 self.features,
@@ -164,12 +178,22 @@ class ResBlock3D(nn.Module):
     @nn.compact
     def __call__(self, x, emb):
         p = self.policy
-        h = B.GroupNorm32(policy=p, name="in_norm")(x)
-        h = jax.nn.silu(h)
-        h = Conv3dFactorized(
-            self.out_channels, self.kernel_size_t, self.padding_t,
-            policy=p, name="in_conv",
-        )(h)
+        # decoder blocks may pass the (upsampled, skip) pair instead of the
+        # channel concat (openaimodel3d.py th.cat); see blocks.SplitConv
+        pair = isinstance(x, tuple)
+        if pair:
+            na, nb = B.GroupNorm32(policy=p, name="in_norm")(x)
+            h = Conv3dFactorized(
+                self.out_channels, self.kernel_size_t, self.padding_t,
+                policy=p, name="in_conv",
+            )((jax.nn.silu(na), jax.nn.silu(nb)))
+        else:
+            h = B.GroupNorm32(policy=p, name="in_norm")(x)
+            h = jax.nn.silu(h)
+            h = Conv3dFactorized(
+                self.out_channels, self.kernel_size_t, self.padding_t,
+                policy=p, name="in_conv",
+            )(h)
         emb_out = nn.Dense(
             self.out_channels, name="emb",
             dtype=p.compute_dtype, param_dtype=p.param_dtype,
@@ -181,7 +205,15 @@ class ResBlock3D(nn.Module):
             self.out_channels, self.kernel_size_t, self.padding_t,
             zero_init=True, policy=p, name="out_conv",
         )(h)
-        if self.out_channels == self.channels:
+        if pair:
+            # concat widens the input, so the 1x1x1 projection is always
+            # present on this path
+            assert self.out_channels != self.channels
+            skip = B.SplitConv(
+                features=self.out_channels, kernel_size=(1, 1, 1),
+                policy=p, name="skip",
+            )(*x)
+        elif self.out_channels == self.channels:
             skip = x
         else:
             skip = nn.Conv(
@@ -578,8 +610,10 @@ class VideoCrafterUNet(nn.Module):
         for d in topo.middle:
             x = self._apply(d, x, emb, ctx)
         for entry in topo.decoder:
-            x = jnp.concatenate([x, hs.pop()], axis=-1)
-            for d in entry:
+            # skip-concat is virtual: the leading res block takes the
+            # (x, skip) pair (joint-stats GN + split convs)
+            x = self._apply(entry[0], (x, hs.pop()), emb, ctx)
+            for d in entry[1:]:
                 x = self._apply(d, x, emb, ctx)
 
         x = B.GroupNorm32(policy=p, name="head_norm")(x)
