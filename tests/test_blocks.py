@@ -101,6 +101,52 @@ class TestPrimitives:
         )
         np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-5)
 
+    def test_groupnorm32_pair_matches_concat(self, rng):
+        # the decoder's virtual skip-concat: GN over the (a, b) pair must
+        # equal GN over cat([a, b], -1), incl. groups straddling the
+        # boundary (64+32 channels -> group size 3: boundary mid-group)
+        a = rnd(rng, 2, 4, 4, 64)
+        b = rnd(rng, 2, 4, 4, 32)
+        w, bb = rnd(rng, 96), rnd(rng, 96)
+        sd = {"n.weight": w, "n.bias": bb}
+        params = {"params": C._gn32(sd, "n")}
+        gn = B.GroupNorm32(eps=1e-5)
+        ref = gn.apply(params, jnp.concatenate([jnp.asarray(a), jnp.asarray(b)], -1))
+        na, nb = gn.apply(params, (jnp.asarray(a), jnp.asarray(b)))
+        got = jnp.concatenate([na, nb], axis=-1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_splitconv_matches_concat_conv(self, rng):
+        a = rnd(rng, 2, 5, 5, 12)
+        b = rnd(rng, 2, 5, 5, 20)
+        kernel, bias = rnd(rng, 3, 3, 32, 8), rnd(rng, 8)
+        params = {"params": {"kernel": kernel, "bias": bias}}
+        got = B.SplitConv(features=8, kernel_size=(3, 3)).apply(
+            params, jnp.asarray(a), jnp.asarray(b)
+        )
+        ref = jax.lax.conv_general_dilated(
+            jnp.concatenate([jnp.asarray(a), jnp.asarray(b)], -1),
+            jnp.asarray(kernel), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_splitconv_3d_matches_concat_conv(self, rng):
+        a = rnd(rng, 1, 3, 4, 4, 8)  # (B, T, H, W, C)
+        b = rnd(rng, 1, 3, 4, 4, 8)
+        kernel, bias = rnd(rng, 3, 3, 3, 16, 6), rnd(rng, 6)
+        params = {"params": {"kernel": kernel, "bias": bias}}
+        got = B.SplitConv(
+            features=6, kernel_size=(3, 3, 3),
+            padding=((1, 1), (1, 1), (1, 1)),
+        ).apply(params, jnp.asarray(a), jnp.asarray(b))
+        ref = jax.lax.conv_general_dilated(
+            jnp.concatenate([jnp.asarray(a), jnp.asarray(b)], -1),
+            jnp.asarray(kernel), (1, 1, 1), ((1, 1), (1, 1), (1, 1)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        ) + bias
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
     def test_exact_gelu(self):
         x = np.linspace(-3, 3, 101, dtype=np.float32)
         ours = np.asarray(jax.nn.gelu(jnp.asarray(x), approximate=False))
