@@ -109,14 +109,24 @@ def _pad_qkv(q, k, v, block_q, block_kv):
     return q, k, v, n_pad, s_pad
 
 
+def _vmem_block_cap(d: int) -> int:
+    """Largest block edge that keeps the pipelined q/k/v/out tiles plus the
+    f32 accumulator inside the ~16 MB scoped-VMEM budget. The 1024 default
+    is tuned for UNet head dims (64); the VAE mid-block attention runs a
+    single 512-wide head, where 1024-blocks exceed the limit (~256K
+    elements per tile keeps the worst case ≈6 MB)."""
+    return max(256, _round_up(262144 // max(d, 1), 128))
+
+
 def _flash_call(q, k, v, scale, block_q, block_kv, interpret, save_lse):
     B, N, D = q.shape
     S = k.shape[1]
     if scale is None:
         scale = D**-0.5
 
-    block_q = min(block_q, _round_up(N, 8))
-    block_kv = min(block_kv, _round_up(S, LANES))
+    cap = _vmem_block_cap(D)
+    block_q = min(block_q, cap, _round_up(N, 8))
+    block_kv = min(block_kv, cap, _round_up(S, LANES))
     q, k, v, n_pad, s_pad = _pad_qkv(q, k, v, block_q, block_kv)
 
     grid = (B, n_pad // block_q, s_pad // block_kv)
@@ -307,8 +317,9 @@ def flash_attention_bwd(
     S = k.shape[1]
     if scale is None:
         scale = D**-0.5
-    block_q = min(block_q, _round_up(N, 8))
-    block_kv = min(block_kv, _round_up(S, LANES))
+    cap = _vmem_block_cap(D)
+    block_q = min(block_q, cap, _round_up(N, 8))
+    block_kv = min(block_kv, cap, _round_up(S, LANES))
 
     # delta rows; padded q rows get 0 → zero contributions everywhere
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)

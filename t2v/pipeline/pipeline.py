@@ -52,8 +52,10 @@ SCALE_FACTOR = 0.18215  # latent scaling (t2v_pipeline.py:153,185,300)
 DECODE_CHUNK = 8  # frames per VAE encode call (bounds peak HBM)
 # decode frames-per-call adapts to the output pixel volume: each extra call
 # pays a dispatch round-trip, so small resolutions decode in ONE call while
-# hi-res configs stay chunked (with spatial tiling on top).
-DECODE_PIXEL_BUDGET = 2_000_000
+# hi-res configs stay chunked (with spatial tiling on top). 8M pixels/call
+# keeps decoder activations a few GB in bf16 and cuts 1024x576x24f decode
+# from 8 device calls to 2 (measured 11.8 s vs 18.4 s warm on one chip).
+DECODE_PIXEL_BUDGET = 8_000_000
 
 
 def _decode_chunk_frames(h_img: int, w_img: int) -> int:
