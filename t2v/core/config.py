@@ -194,11 +194,21 @@ class T2VOutputArgs:
 
     skip_video_creation: bool = False
     fps: int = 15
+    make_gif: bool = False  # write an animated GIF alongside the mp4
+    delete_imgs: bool = False  # delete PNG frames after a successful stitch
+    # output path templates (reference args.py:268-270); None = the default
+    # per-run directory layout. image_path may carry a %-style frame index.
+    image_path: str | None = None
+    mp4_path: str | None = None
     ffmpeg_location: str | None = None  # auto-discovered when None
     ffmpeg_crf: int = 17
     ffmpeg_preset: str = "slow"
     add_soundtrack: str = "None"  # "None" | "File" | "Init Video"
     soundtrack_path: str = ""
+    # schema-only in the reference AND here: per-step preview dumps were
+    # never consumed by any reference code path (args.py:272-273)
+    render_steps: bool = False
+    path_name_modifier: str = "x0_pred"  # "x0_pred" | "x"
     # Upscaling / frame-interpolation options (schema parity with
     # args.py:277-290 — stubs in the reference's extension path too; an
     # external RealESRGAN/RIFE/FILM stage would consume them)

@@ -192,6 +192,22 @@ def frames_to_video(frames: list[np.ndarray], out_path: str, fps: float = 15, **
     return ffmpeg_stitch_video(frames=frames, out_path=out_path, fps=fps, **kw)
 
 
+def save_gif(frames: list[np.ndarray], out_path: str, fps: float = 15) -> str:
+    """Animated GIF writer (the reference's ``make_gif`` output arg,
+    args.py:266 — carried but never implemented there)."""
+    from PIL import Image
+
+    ims = [Image.fromarray(np.asarray(f, np.uint8)) for f in frames]
+    ims[0].save(
+        out_path,
+        save_all=True,
+        append_images=ims[1:],
+        duration=max(1, int(round(1000.0 / max(fps, 1e-6)))),
+        loop=0,
+    )
+    return out_path
+
+
 def video_to_data_url(path: str) -> str:
     """base64 data-URL packing (process_modelscope.py:257-266 role)."""
     import base64

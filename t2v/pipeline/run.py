@@ -249,14 +249,24 @@ def _emit_batch(
     )
     os.makedirs(batch_dir, exist_ok=True)
 
+    def _img_path(i: int) -> str:
+        # image_path template (args.py:268, e.g. ".../%09d.png"); relative
+        # templates resolve inside the batch dir
+        tpl = out_args.image_path
+        if tpl:
+            p = tpl % i if "%" in tpl else os.path.join(tpl, f"{i:09d}.png")
+            return p if os.path.isabs(p) else os.path.join(batch_dir, p)
+        return os.path.join(batch_dir, f"{i:09d}.png")
+
+    written_pngs: list[str] = []
     if save_frames:
         import cv2
 
         for i, frame in enumerate(frames):
-            cv2.imwrite(
-                os.path.join(batch_dir, f"{i:09d}.png"),
-                cv2.cvtColor(frame, cv2.COLOR_RGB2BGR),
-            )
+            p = _img_path(i)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            cv2.imwrite(p, cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+            written_pngs.append(p)
         with open(os.path.join(batch_dir, "args.txt"), "w") as f:
             f.write(infotext)
         from t2v.core.profiling import RunManifest
@@ -289,8 +299,15 @@ def _emit_batch(
                     cv2.cvtColor(frame, cv2.COLOR_RGB2BGR),
                 )
 
-    mp4_path = os.path.join(batch_dir, "vid.mp4")
+    if out_args.mp4_path:
+        stem, ext = os.path.splitext(out_args.mp4_path)
+        mp4_path = out_args.mp4_path if batch == 0 else f"{stem}_{batch}{ext}"
+        if not os.path.isabs(mp4_path):
+            mp4_path = os.path.join(batch_dir, mp4_path)
+    else:
+        mp4_path = os.path.join(batch_dir, "vid.mp4")
     if not out_args.skip_video_creation:
+        os.makedirs(os.path.dirname(mp4_path), exist_ok=True)
         ffmpeg_stitch_video(
             frames=frames,
             out_path=mp4_path,
@@ -304,6 +321,18 @@ def _emit_batch(
         )
         result.videos.append(mp4_path)
         result.data_urls.append(video_to_data_url(mp4_path))
+        if out_args.make_gif:
+            from t2v.media.video import save_gif
+
+            save_gif(frames, os.path.splitext(mp4_path)[0] + ".gif", fps)
+        if out_args.delete_imgs:
+            # reference semantics: drop the PNG dump once the mp4 exists
+            # (args.py:267); args.txt and the manifest are kept
+            for p in written_pngs:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
     result.frame_dirs.append(batch_dir)
     result.infotexts.append(infotext)
 

@@ -40,6 +40,29 @@ class TestRunOrchestrator:
             pngs = [f for f in os.listdir(d) if f.endswith(".png")]
             assert len(pngs) == 3
 
+    def test_gif_delete_imgs_and_path_templates(self, tiny_pipe, tmp_path):
+        import os
+
+        args = T2VArgs(prompt="x", steps=2, frames=3, width=64, height=64, seed=7)
+        out = T2VOutputArgs(
+            fps=4,
+            make_gif=True,
+            delete_imgs=True,
+            image_path="f_%03d.png",
+            mp4_path=str(tmp_path / "custom" / "out.mp4"),
+        )
+        result = run(args, out, pipe=tiny_pipe, outdir=str(tmp_path))
+        assert result.videos == [str(tmp_path / "custom" / "out.mp4")]
+        assert os.path.exists(tmp_path / "custom" / "out.gif")
+        d = result.frame_dirs[0]
+        # PNGs deleted after the stitch; args.txt stays
+        assert [f for f in os.listdir(d) if f.endswith(".png")] == []
+        assert os.path.exists(os.path.join(d, "args.txt"))
+        from PIL import Image
+
+        gif = Image.open(tmp_path / "custom" / "out.gif")
+        assert getattr(gif, "n_frames", 1) == 3
+
     def test_interrupt_stops_batches(self, tiny_pipe, tmp_path):
         from t2v.core.state import JobState
 
