@@ -30,6 +30,9 @@ API_VERSION = "1.0"
 
 
 def create_app(pipe=None, models_root: Optional[str] = None):
+    from t2v.core.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     from fastapi import FastAPI, Request, UploadFile
     from fastapi.encoders import jsonable_encoder
     from fastapi.exceptions import RequestValidationError

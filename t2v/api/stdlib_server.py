@@ -197,6 +197,9 @@ class T2VRequestHandler(BaseHTTPRequestHandler):
 def serve(host: str = "127.0.0.1", port: int = 7860, pipe=None, *, block: bool = True):
     """Start the API server. Returns the server object (non-blocking mode
     runs it on a daemon thread — used by tests)."""
+    from t2v.core.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     handler = type("Handler", (T2VRequestHandler,), {"pipe": pipe})
     server = ThreadingHTTPServer((host, port), handler)
     if block:

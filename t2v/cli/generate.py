@@ -87,6 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     ns = build_parser().parse_args(argv)
 
+    from t2v.core.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     if ns.serve:
         try:
             import uvicorn

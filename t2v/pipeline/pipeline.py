@@ -662,6 +662,9 @@ def load_pipeline(
 ) -> ModelScopePipeline:
     """Cached loader with model hot-switch semantics: a new dir tears down
     the previous pipeline (process_modelscope.py:62-66)."""
+    from t2v.core.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     key = (os.path.abspath(model_dir), policy.param_dtype)
     if key in _PIPELINE_CACHE:
         return _PIPELINE_CACHE[key]
