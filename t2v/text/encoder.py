@@ -125,6 +125,15 @@ class Conditioning:
     uncond: jax.Array
 
 
+def _weight_renorm(z: jax.Array, mult: jax.Array) -> jax.Array:
+    """A1111 emphasis renorm (clip_hardcode.py:415-420): scale token rows
+    by their multipliers, then restore the pre-scale batch mean."""
+    m = mult[..., None].astype(z.dtype)
+    original_mean = z.mean()
+    z = z * m
+    return z * (original_mean / z.mean())
+
+
 class TextEncoder:
     def __init__(
         self,
@@ -144,26 +153,36 @@ class TextEncoder:
         self.id_pad = id_pad
         self.embedding_db = EmbeddingDB(tokenizer)
         self._apply = jax.jit(model.apply)
+
+        # the tower AND the A1111 weight renorm in ONE jitted program: the
+        # renorm's means/multiplies as eager ops each cost a full device
+        # dispatch round-trip (seconds-scale through remote transports),
+        # which dominated request latency
+        def _fwd(params, tokens, mult):
+            z = model.apply(params, tokens)
+            return _weight_renorm(z, mult)
+
+        def _fwd_emb(params, tokens, emb, mult):
+            z = model.apply(params, tokens, input_embeddings=emb)
+            return _weight_renorm(z, mult)
+
+        self._encode_jit = jax.jit(_fwd)
+        self._encode_emb_jit = jax.jit(_fwd_emb)
         self._cache: dict[tuple, np.ndarray] = {}
 
     # ------------------------------------------------------------------
 
     def _encode_chunk_batch(self, tokens: np.ndarray, multipliers: np.ndarray, fixes) -> jax.Array:
         """One 77-token chunk through the tower + weight renorm
-        (process_tokens, clip_hardcode.py:397-422)."""
+        (process_tokens, clip_hardcode.py:397-422) — one device program."""
         if self.id_pad != self.tokenizer.eos_id:
             tokens = chunking.pad_after_eos(tokens, self.tokenizer.eos_id, self.id_pad)
+        mult = jnp.asarray(multipliers, jnp.float32)
         if fixes and any(fixes):
-            z = self._apply_with_fixes(tokens, fixes)
-        else:
-            z = self._apply(self.params, jnp.asarray(tokens))
-        mult = jnp.asarray(multipliers, z.dtype)[..., None]
-        original_mean = z.mean()
-        z = z * mult
-        z = z * (original_mean / z.mean())
-        return z
+            return self._apply_with_fixes(tokens, fixes, mult)
+        return self._encode_jit(self.params, jnp.asarray(tokens), mult)
 
-    def _apply_with_fixes(self, tokens: np.ndarray, fixes) -> jax.Array:
+    def _apply_with_fixes(self, tokens: np.ndarray, fixes, mult) -> jax.Array:
         """Textual-inversion forward: splice embedding rows into the token
         embeddings before the transformer (the A1111 hijack's role). The +1
         offset accounts for the BOS prepended after fixes were recorded."""
@@ -173,8 +192,8 @@ class TextEncoder:
             for pos, vec in row_fixes:
                 n = min(vec.shape[0], x.shape[1] - (pos + 1))
                 x[row, pos + 1 : pos + 1 + n] = vec[:n]
-        return self.model.apply(
-            self.params, jnp.asarray(tokens), input_embeddings=jnp.asarray(x)
+        return self._encode_emb_jit(
+            self.params, jnp.asarray(tokens), jnp.asarray(x), mult
         )
 
     def encode_line(self, line: str) -> np.ndarray:
