@@ -194,40 +194,70 @@ class ModelScopePipeline:
 
         return lambda z: fn(params, z)
 
+    def _make_encode_fn(self):
+        """Encode + posterior-mean scaling in ONE program (every eager op
+        on the serving path is a dispatch round-trip)."""
+        vae, params = self.vae, self.vae_params
+
+        @jax.jit
+        def fn(p, x):
+            mean, _ = vae.apply(p, x, method=AutoencoderKL.encode)
+            return mean.astype(jnp.float32) * SCALE_FACTOR
+
+        return lambda x: fn(params, x)
+
+    def _make_decode_uint8_fn(self):
+        """Latent unscale + decode + tensor2vid normalisation
+        (t2v_pipeline.py:447-460) + uint8 quantisation in ONE program:
+        no eager device math, and the host readback is uint8 (4x smaller
+        than the old float transfer)."""
+        vae, params = self.vae, self.vae_params
+
+        @jax.jit
+        def fn(p, z):
+            img = vae.apply(p, z * (1.0 / SCALE_FACTOR), method=AutoencoderKL.decode)
+            img = jnp.clip(img.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+            return jnp.round(img * 255.0).astype(jnp.uint8)
+
+        return lambda z: fn(params, z)
+
     def compute_latents(self, frames_rgb: np.ndarray) -> jax.Array:
         """(F, H, W, 3) float in [-1,1] → (1, F, h, w, 4) scaled latents
         (deterministic posterior mean × 0.18215, t2v_pipeline.py:148-194)."""
         if self._encode_fn is None:
-            self._encode_fn = self._vae_apply(AutoencoderKL.encode)
+            self._encode_fn = self._make_encode_fn()
         x = jnp.asarray(frames_rgb, jnp.float32)
         chunks = []
         for i in range(0, x.shape[0], DECODE_CHUNK):
-            mean, _ = self._encode_fn(x[i : i + DECODE_CHUNK])
-            chunks.append(mean.astype(jnp.float32) * SCALE_FACTOR)
+            chunks.append(self._encode_fn(x[i : i + DECODE_CHUNK]))
         return jnp.concatenate(chunks, axis=0)[None]
 
     def decode_latents(self, latents: jax.Array) -> np.ndarray:
         """(F, h, w, 4) scaled latents → (F, H, W, 3) uint8 RGB
         (frame-chunked decode; chunking bounds HBM, not device hops)."""
-        if self._decode_fn is None:
-            self._decode_fn = self._vae_apply(AutoencoderKL.decode)
-        decode_fn = self._decode_fn
         tile = self.decode_tile
-        if tile and (latents.shape[1] > tile or latents.shape[2] > tile):
+        tiled = tile and (latents.shape[1] > tile or latents.shape[2] > tile)
+        if tiled:
+            # tiled path blends overlapping float tiles on the host, so it
+            # keeps the float decode program + host normalisation
             from t2v.models.vae_tiled import decode_spatial_tiled
 
-            base = decode_fn
+            base = self._vae_apply(AutoencoderKL.decode)
             decode_fn = lambda zz: decode_spatial_tiled(
-                base, zz, tile=tile, overlap=self.decode_tile_overlap,
+                base, zz / SCALE_FACTOR, tile=tile,
+                overlap=self.decode_tile_overlap,
                 upscale=_spatial_scale(self.vae_cfg),
             )
+        else:
+            if self._decode_fn is None:
+                self._decode_fn = self._make_decode_uint8_fn()
+            decode_fn = self._decode_fn
         up = _spatial_scale(self.vae_cfg)
         step_f = _decode_chunk_frames(latents.shape[1] * up, latents.shape[2] * up)
         outs = []
-        z = latents / SCALE_FACTOR
-        n = z.shape[0]
+        n = latents.shape[0]
         for i in range(0, n, step_f):
-            chunk = z[i : i + step_f]
+            chunk = latents[i : i + step_f]
             pad = 0
             if chunk.shape[0] < step_f and n > step_f:
                 pad = step_f - chunk.shape[0]
@@ -235,11 +265,13 @@ class ModelScopePipeline:
             img = decode_fn(chunk)
             if pad:
                 img = img[: step_f - pad]
-            outs.append(np.asarray(jnp.asarray(img).astype(jnp.float32)))
+            outs.append(np.asarray(img))
         imgs = np.concatenate(outs, axis=0)
-        # tensor2vid normalisation: mean/std 0.5 (t2v_pipeline.py:447-460)
-        imgs = np.clip(imgs * 0.5 + 0.5, 0.0, 1.0)
-        return (imgs * 255).round().astype(np.uint8)
+        if tiled:
+            # tensor2vid normalisation: mean/std 0.5 (t2v_pipeline.py:447-460)
+            imgs = np.clip(imgs.astype(np.float32) * 0.5 + 0.5, 0.0, 1.0)
+            return (imgs * 255).round().astype(np.uint8)
+        return imgs
 
     # ------------------------------------------------------------------
 

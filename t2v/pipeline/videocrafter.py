@@ -436,39 +436,41 @@ class VideoCrafterPipeline:
     def compute_latents(self, frames_rgb) -> jax.Array:
         """(F, H, W, 3) float in [-1,1] → (1, F, h, w, 4) scaled latents —
         the LVDM 2D frame-batched encode (ddpm3d.py:769-819), posterior
-        mean × scale_factor."""
+        mean × scale_factor. Scaling happens inside the jitted program
+        (eager device ops cost a dispatch round-trip each)."""
         if self._encode_fn is None:
-            vae = self.vae
+            vae, scale = self.vae, float(self.cfg.scale_factor)
 
             @jax.jit
             def enc(p, z):
-                return vae.apply(p, z, method=AutoencoderKL.encode)
+                mean, _ = vae.apply(p, z, method=AutoencoderKL.encode)
+                return mean.astype(jnp.float32) * scale
 
             self._encode_fn = enc
         x = jnp.asarray(frames_rgb, jnp.float32)
         chunks = []
         for i in range(0, x.shape[0], DECODE_CHUNK):
-            mean, _ = self._encode_fn(self.vae_params, x[i : i + DECODE_CHUNK])
-            chunks.append(mean.astype(jnp.float32) * self.cfg.scale_factor)
+            chunks.append(self._encode_fn(self.vae_params, x[i : i + DECODE_CHUNK]))
         return jnp.concatenate(chunks, axis=0)[None]
 
     def decode_latents(self, latents: jax.Array) -> np.ndarray:
+        """Unscale + decode + normalisation + uint8 quantisation in one
+        jitted program; the readback is uint8 (4x smaller transfer)."""
         if self._decode_fn is None:
             vae, vp = self.vae, self.vae_params
+            inv_scale = 1.0 / float(self.cfg.scale_factor)
 
             @jax.jit
             def fn(p, z):
-                return vae.apply(p, z, method=AutoencoderKL.decode)
+                img = vae.apply(p, z * inv_scale, method=AutoencoderKL.decode)
+                img = jnp.clip(img.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+                return jnp.round(img * 255.0).astype(jnp.uint8)
 
             self._decode_fn = lambda z: fn(vp, z)
-        z = latents / self.cfg.scale_factor
         outs = []
-        for i in range(0, z.shape[0], DECODE_CHUNK):
-            img = self._decode_fn(z[i : i + DECODE_CHUNK])
-            outs.append(np.asarray(img.astype(jnp.float32)))
-        imgs = np.concatenate(outs, axis=0)
-        imgs = np.clip(imgs * 0.5 + 0.5, 0.0, 1.0)
-        return (imgs * 255).round().astype(np.uint8)
+        for i in range(0, latents.shape[0], DECODE_CHUNK):
+            outs.append(np.asarray(self._decode_fn(latents[i : i + DECODE_CHUNK])))
+        return np.concatenate(outs, axis=0)
 
 
 def _cast(tree, dtype):
