@@ -93,6 +93,7 @@ class ModelScopePipeline:
     decode_tile_overlap: int = 16
     # jit caches keyed by static shapes
     _decode_fn: Any = field(default=None, repr=False)
+    _decode_float_fn: Any = field(default=None, repr=False)
     _encode_fn: Any = field(default=None, repr=False)
     _sample_cache: dict = field(default_factory=dict, repr=False)
 
@@ -242,7 +243,9 @@ class ModelScopePipeline:
             # keeps the float decode program + host normalisation
             from t2v.models.vae_tiled import decode_spatial_tiled
 
-            base = self._vae_apply(AutoencoderKL.decode)
+            if self._decode_float_fn is None:
+                self._decode_float_fn = self._vae_apply(AutoencoderKL.decode)
+            base = self._decode_float_fn
             decode_fn = lambda zz: decode_spatial_tiled(
                 base, zz / SCALE_FACTOR, tile=tile,
                 overlap=self.decode_tile_overlap,
@@ -254,6 +257,13 @@ class ModelScopePipeline:
             decode_fn = self._decode_fn
         up = _spatial_scale(self.vae_cfg)
         step_f = _decode_chunk_frames(latents.shape[1] * up, latents.shape[2] * up)
+        n_total = latents.shape[0]
+        if n_total > step_f:
+            # balance chunks so the zero-padded tail stays small (125f at an
+            # 8M budget would otherwise split 122+3 and pad the 3 to 122 —
+            # near-2x decode work); same chunk count, one compile shape
+            n_chunks = -(-n_total // step_f)
+            step_f = -(-n_total // n_chunks)
         outs = []
         n = latents.shape[0]
         for i in range(0, n, step_f):

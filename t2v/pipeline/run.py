@@ -19,6 +19,7 @@ API layer converts it to the same observable behaviour.
 from __future__ import annotations
 
 import os
+import re
 import time
 from dataclasses import dataclass, field
 from typing import Optional
@@ -251,10 +252,15 @@ def _emit_batch(
 
     def _img_path(i: int) -> str:
         # image_path template (args.py:268, e.g. ".../%09d.png"); relative
-        # templates resolve inside the batch dir
+        # templates resolve inside the batch dir. Only a real %d spec is a
+        # template — a literal '%' in a directory name must not be
+        # %-formatted
         tpl = out_args.image_path
         if tpl:
-            p = tpl % i if "%" in tpl else os.path.join(tpl, f"{i:09d}.png")
+            if re.search(r"%\d*d", tpl):
+                p = tpl % i
+            else:
+                p = os.path.join(tpl, f"{i:09d}.png")
             return p if os.path.isabs(p) else os.path.join(batch_dir, p)
         return os.path.join(batch_dir, f"{i:09d}.png")
 
@@ -321,10 +327,6 @@ def _emit_batch(
         )
         result.videos.append(mp4_path)
         result.data_urls.append(video_to_data_url(mp4_path))
-        if out_args.make_gif:
-            from t2v.media.video import save_gif
-
-            save_gif(frames, os.path.splitext(mp4_path)[0] + ".gif", fps)
         if out_args.delete_imgs:
             # reference semantics: drop the PNG dump once the mp4 exists
             # (args.py:267); args.txt and the manifest are kept
@@ -333,6 +335,13 @@ def _emit_batch(
                     os.remove(p)
                 except OSError:
                     pass
+    if out_args.make_gif:
+        # the GIF consumes only the in-memory frames — written even with
+        # skip_video_creation set
+        from t2v.media.video import save_gif
+
+        os.makedirs(os.path.dirname(mp4_path), exist_ok=True)
+        save_gif(frames, os.path.splitext(mp4_path)[0] + ".gif", fps)
     result.frame_dirs.append(batch_dir)
     result.infotexts.append(infotext)
 

@@ -152,7 +152,6 @@ class TextEncoder:
         self.enable_emphasis = enable_emphasis
         self.id_pad = id_pad
         self.embedding_db = EmbeddingDB(tokenizer)
-        self._apply = jax.jit(model.apply)
 
         # the tower AND the A1111 weight renorm in ONE jitted program: the
         # renorm's means/multiplies as eager ops each cost a full device

@@ -63,6 +63,16 @@ class TestRunOrchestrator:
         gif = Image.open(tmp_path / "custom" / "out.gif")
         assert getattr(gif, "n_frames", 1) == 3
 
+    def test_gif_without_video_creation(self, tiny_pipe, tmp_path):
+        import os
+
+        args = T2VArgs(prompt="x", steps=2, frames=2, width=64, height=64, seed=8)
+        out = T2VOutputArgs(fps=4, make_gif=True, skip_video_creation=True)
+        result = run(args, out, pipe=tiny_pipe, outdir=str(tmp_path))
+        assert result.videos == []
+        d = result.frame_dirs[0]
+        assert os.path.exists(os.path.join(d, "vid.gif"))
+
     def test_interrupt_stops_batches(self, tiny_pipe, tmp_path):
         from t2v.core.state import JobState
 
