@@ -57,6 +57,7 @@ class VideoCrafterPipeline:
     schedule: DiffusionSchedule
     _decode_fn: Any = field(default=None, repr=False)
     _encode_fn: Any = field(default=None, repr=False)
+    _encode_text_fn: Any = field(default=None, repr=False)
     _sample_cache: dict = field(default_factory=dict, repr=False)
 
     @classmethod
@@ -197,7 +198,11 @@ class VideoCrafterPipeline:
             row = row + [self.tokenizer.eos_id] * (L - len(row))
             rows.append(row)
         tokens = jnp.asarray(np.asarray(rows, np.int32))
-        return self.clip.apply(self.clip_params, tokens)
+        if self._encode_text_fn is None:
+            # jitted once: an eager tower apply runs op-by-op through the
+            # device transport, ~100x slower than the compiled program
+            self._encode_text_fn = jax.jit(self.clip.apply)
+        return self._encode_text_fn(self.clip_params, tokens)
 
     def load_adapter(self, adapter_path: str, adapter_cfg=None):
         """Load a T2I-Adapter torch checkpoint
@@ -236,7 +241,13 @@ class VideoCrafterPipeline:
         the TPU replacement for the reference's encode_bs=1 chunk loop."""
         b, t = depth_video.shape[:2]
         merged = jnp.asarray(depth_video).reshape((b * t,) + depth_video.shape[2:])
-        feats = adapter.apply(adapter_params, merged)
+        key = ("adapter_feats", id(adapter))
+        fn = self._sample_cache.get(key)
+        if fn is None:
+            # jitted once per adapter: an eager apply runs op-by-op
+            fn = jax.jit(adapter.apply)
+            self._sample_cache[key] = fn
+        feats = fn(adapter_params, merged)
         return tuple(
             f.reshape((b, t) + f.shape[1:]) for f in feats
         )
