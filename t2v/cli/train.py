@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="EMA shadow decay (e.g. 0.9999); 0 disables (full fine-tune only)",
     )
     p.add_argument(
+        "--resume", nargs="?", const="auto", default=None,
+        help="resume from a saved train state: a step_N dir, or bare "
+        "--resume to pick the newest one under --out (full state: params, "
+        "optimizer, EMA, step counter)",
+    )
+    p.add_argument(
         "--remat", action="store_true",
         help="gradient checkpointing: rematerialise the UNet forward in the "
         "backward pass (fits longer clips / larger batches)",
@@ -141,6 +147,19 @@ def main(argv=None) -> int:
             parameterization=unet_cfg.parameterization,
         )
 
+    start_step = 0
+    if ns.resume:
+        from t2v.io.orbax_io import latest_train_state, restore_train_state
+
+        resume_dir = (
+            latest_train_state(ns.out) if ns.resume == "auto" else ns.resume
+        )
+        if resume_dir is None:
+            raise SystemExit(f"--resume: no train state found under {ns.out}")
+        state = restore_train_state(resume_dir, state)
+        start_step = int(state.step)
+        print(f"resumed from {resume_dir} at step {start_step}")
+
     ds = WebVidDataset(
         ns.data_dir,
         ns.meta_path,
@@ -152,7 +171,10 @@ def main(argv=None) -> int:
     print(f"dataset: {len(ds)} clips; mesh {mesh.devices.shape}")
 
     key = jax.random.key(ns.seed)
-    step = 0
+    # distinct batches/noise after a resume: fold the start step into the key
+    if start_step:
+        key = jax.random.fold_in(key, start_step)
+    step = start_step
     t0 = time.time()
     for frames, captions in ds.batches(ns.batch_size, epochs=10**6):
         latents = jnp.concatenate(
@@ -170,6 +192,8 @@ def main(argv=None) -> int:
             print(f"step {step} loss {loss_v:.4f} ({ns.log_every / dt:.2f} it/s)")
             t0 = time.time()
         if step % ns.save_every == 0 or step >= ns.steps:
+            from t2v.io.orbax_io import save_train_state
+
             if ns.lora_rank > 0:
                 from t2v.pipeline.lora import save_stable_lora
 
@@ -194,6 +218,8 @@ def main(argv=None) -> int:
                     clip_cfg=clip_cfg,
                     model_family="videocrafter" if is_vc else "modelscope",
                 )
+            # full state (params + optimizer + EMA + step) for --resume
+            save_train_state(f"{ns.out}/step_{step}", state)
             print(f"saved {out}")
         if step >= ns.steps:
             break

@@ -58,6 +58,92 @@ def is_native_checkpoint(model_dir: str) -> bool:
     return os.path.exists(os.path.join(model_dir, "t2v_native.json"))
 
 
+def save_train_state(out_dir: str, state: Any) -> str:
+    """Full training state (params + optimizer state + step + EMA) for
+    resume. The reference had no training resume at all (SURVEY.md §5.4 —
+    inference-only checkpoint loading); here it is first-class."""
+    out_dir = os.path.abspath(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    import jax
+
+    tree = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "ema_params": state.ema_params,
+    }
+    _checkpointer().save(
+        os.path.join(out_dir, "train_state"), jax.device_get(tree), force=True
+    )
+    with open(os.path.join(out_dir, "train_state.json"), "w") as f:
+        json.dump({"format_version": FORMAT_VERSION, "step": int(state.step)}, f)
+    return out_dir
+
+
+def has_train_state(out_dir: str) -> bool:
+    return os.path.exists(os.path.join(out_dir, "train_state.json"))
+
+
+def restore_train_state(out_dir: str, template_state: Any) -> Any:
+    """Restore into the structure/dtypes/shardings of ``template_state``
+    (produced by ``init_train_state`` on the same config + mesh)."""
+    tree = {
+        "params": template_state.params,
+        "opt_state": template_state.opt_state,
+        "step": template_state.step,
+        "ema_params": template_state.ema_params,
+    }
+    restored = _checkpointer().restore(
+        os.path.join(os.path.abspath(out_dir), "train_state"), item=tree
+    )
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    # place restored leaves with the template's shardings (tp/dp resume);
+    # leaves the template left on a single device (optimizer scalars from
+    # optax init) are replicated over the same mesh — jit rejects a state
+    # that mixes mesh-wide and single-device placements
+    mesh = None
+    for leaf in jax.tree.leaves(tree):
+        s = getattr(leaf, "sharding", None)
+        if isinstance(s, NamedSharding):
+            mesh = s.mesh
+            break
+
+    def _place(r, t):
+        s = getattr(t, "sharding", None)
+        if isinstance(s, NamedSharding):
+            return jax.device_put(r, s)
+        if mesh is not None:
+            return jax.device_put(r, NamedSharding(mesh, PartitionSpec()))
+        return r
+
+    restored = jax.tree.map(_place, restored, tree)
+    return type(template_state)(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+        ema_params=restored["ema_params"],
+    )
+
+
+def latest_train_state(root: str) -> str | None:
+    """Newest ``step_N`` dir under ``root`` that carries a train state."""
+    if not os.path.isdir(root):
+        return None
+    best, best_step = None, -1
+    for name in os.listdir(root):
+        p = os.path.join(root, name)
+        if name.startswith("step_") and has_train_state(p):
+            try:
+                s = int(name.split("_", 1)[1])
+            except ValueError:
+                continue
+            if s > best_step:
+                best, best_step = p, s
+    return best
+
+
 def load_native(model_dir: str) -> dict[str, Any]:
     """Returns {meta, unet_params, vae_params, clip_params}."""
     with open(os.path.join(model_dir, "t2v_native.json")) as f:

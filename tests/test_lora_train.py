@@ -197,3 +197,55 @@ class TestRemat:
         np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
         for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestResume:
+    def test_train_state_roundtrip(self, tiny_unet, tmp_path):
+        """Save → restore reproduces params, optimizer state, EMA, and the
+        step counter, and the restored state trains identically."""
+        from t2v.diffusion.schedules import DiffusionSchedule
+        from t2v.io.orbax_io import (
+            has_train_state,
+            latest_train_state,
+            restore_train_state,
+            save_train_state,
+        )
+
+        cfg, model, params = tiny_unet
+        mesh = make_mesh(MeshConfig(dp=-1))
+        opt = make_optimizer(1e-2)
+        sched = DiffusionSchedule.linear_sd(100)
+        step_fn = make_train_step(model.apply, opt, sched, mesh, ema_decay=0.5)
+        batch = _batch(cfg)
+
+        state = init_train_state(params, opt, mesh, with_ema=True)
+        with mesh:
+            state, _ = step_fn(state, batch, jax.random.key(1))
+        out = str(tmp_path / "step_1")
+        save_train_state(out, state)
+        assert has_train_state(out)
+        assert latest_train_state(str(tmp_path)) == out
+
+        template = init_train_state(params, opt, mesh, with_ema=True)
+        restored = restore_train_state(out, template)
+        assert int(restored.step) == int(state.step) == 1
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(state.ema_params), jax.tree.leaves(restored.ema_params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # continuing from the restored state matches continuing directly
+        with mesh:
+            s_direct, l_direct = step_fn(state, batch, jax.random.key(2))
+            s_resumed, l_resumed = step_fn(restored, batch, jax.random.key(2))
+        np.testing.assert_allclose(float(l_direct), float(l_resumed), rtol=1e-6)
+        for a, b in zip(
+            jax.tree.leaves(s_direct.params), jax.tree.leaves(s_resumed.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
