@@ -206,6 +206,7 @@ def main(argv=None) -> int:
                 )
             else:
                 out = f"{ns.out}/step_{step}"
+                tok = pipe.tokenizer if is_vc else pipe.text_encoder.tokenizer
                 save_native(
                     out,
                     unet_params=jax.device_get(
@@ -217,6 +218,7 @@ def main(argv=None) -> int:
                     vae_cfg=pipe.vae_cfg,
                     clip_cfg=clip_cfg,
                     model_family="videocrafter" if is_vc else "modelscope",
+                    tokenizer_vocab=getattr(tok, "source_path", None),
                 )
             # full state (params + optimizer + EMA + step) for --resume
             save_train_state(f"{ns.out}/step_{step}", state)

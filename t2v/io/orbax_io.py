@@ -35,6 +35,7 @@ def save_native(
     vae_cfg,
     clip_cfg,
     model_family: str = "modelscope",
+    tokenizer_vocab: str | None = None,
 ) -> str:
     out_dir = os.path.abspath(out_dir)
     os.makedirs(out_dir, exist_ok=True)
@@ -42,6 +43,14 @@ def save_native(
     ckpt.save(os.path.join(out_dir, "unet"), unet_params, force=True)
     ckpt.save(os.path.join(out_dir, "vae"), vae_params, force=True)
     ckpt.save(os.path.join(out_dir, "clip"), clip_params, force=True)
+    if tokenizer_vocab and os.path.exists(tokenizer_vocab):
+        # ship the BPE vocab so the native dir is self-contained
+        import shutil
+
+        shutil.copy(
+            tokenizer_vocab,
+            os.path.join(out_dir, os.path.basename(tokenizer_vocab)),
+        )
     meta = {
         "format_version": FORMAT_VERSION,
         "model_family": model_family,
@@ -52,6 +61,17 @@ def save_native(
     with open(os.path.join(out_dir, "t2v_native.json"), "w") as f:
         json.dump(meta, f, indent=2)
     return out_dir
+
+
+def config_from_dict(cls, d: dict) -> Any:
+    """Rebuild a config dataclass from its JSON dict (lists → tuples,
+    unknown keys ignored so old checkpoints survive config growth)."""
+    kw = {}
+    for f in dataclasses.fields(cls):
+        if f.name in d:
+            v = d[f.name]
+            kw[f.name] = tuple(v) if isinstance(v, list) else v
+    return cls(**kw)
 
 
 def is_native_checkpoint(model_dir: str) -> bool:

@@ -140,10 +140,51 @@ class ModelScopePipeline:
         )
 
     @classmethod
+    def from_native(
+        cls, model_dir: str, policy: Policy = Policy.bf16()
+    ) -> "ModelScopePipeline":
+        """Load a t2v-native (orbax) checkpoint dir — what the training CLI
+        saves. Restores straight into device arrays, skipping the torch
+        pickle parse + layout conversion entirely."""
+        from t2v.io.orbax_io import config_from_dict, load_native
+
+        data = load_native(model_dir)
+        meta = data["meta"]
+        if meta.get("model_family", "modelscope") != "modelscope":
+            raise ValueError(
+                f"{model_dir} holds a {meta['model_family']} checkpoint; "
+                "load it with VideoCrafterPipeline.from_native"
+            )
+        unet_cfg = config_from_dict(ModelScopeUNetConfig, meta["unet_cfg"])
+        vae_cfg = config_from_dict(VAEConfig, meta["vae_cfg"])
+        clip_cfg = config_from_dict(CLIPTextConfig, meta["clip_cfg"])
+        unet_params = _cast_tree(data["unet_params"], policy.param_dtype)
+        vae_params = _cast_tree(data["vae_params"], policy.param_dtype)
+        clip_params = _cast_tree(data["clip_params"], policy.param_dtype)
+        unet = UNetSD(cfg=unet_cfg, policy=policy)
+        vae = AutoencoderKL(cfg=vae_cfg, policy=policy)
+        clip = CLIPTextTransformer(cfg=clip_cfg, policy=policy)
+        tokenizer = CLIPTokenizer.find_and_load(model_dir, os.path.dirname(model_dir))
+        text_encoder = TextEncoder(clip, clip_params, tokenizer)
+        return cls(
+            unet_cfg=unet_cfg, vae_cfg=vae_cfg, clip_cfg=clip_cfg,
+            policy=policy, unet=unet, vae=vae,
+            unet_params=unet_params, vae_params=vae_params,
+            text_encoder=text_encoder,
+            schedule=DiffusionSchedule.linear_sd(unet_cfg.num_timesteps),
+            model_dir=model_dir,
+        )
+
+    @classmethod
     def from_model_dir(
         cls, model_dir: str, policy: Policy = Policy.bf16()
     ) -> "ModelScopePipeline":
-        """Load the reference checkpoint layout (t2v_pipeline.py:67-146)."""
+        """Load the reference checkpoint layout (t2v_pipeline.py:67-146),
+        or a t2v-native (orbax) dir — detected by its manifest."""
+        from t2v.io.orbax_io import is_native_checkpoint
+
+        if is_native_checkpoint(model_dir):
+            return cls.from_native(model_dir, policy)
         from t2v.io.convert import convert_unet, convert_vae
         from t2v.io.pickle_reader import load_torch_checkpoint
 

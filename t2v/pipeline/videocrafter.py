@@ -120,6 +120,43 @@ class VideoCrafterPipeline:
         return skipped
 
     @classmethod
+    def from_native(
+        cls, model_dir: str, policy: Policy = Policy.bf16()
+    ) -> "VideoCrafterPipeline":
+        """Load a t2v-native (orbax) checkpoint dir — what the training CLI
+        saves for the VideoCrafter family."""
+        from t2v.io.orbax_io import config_from_dict, load_native
+        from t2v.models.videocrafter_unet import VideoCrafterUNetConfig
+
+        data = load_native(model_dir)
+        meta = data["meta"]
+        if meta.get("model_family") != "videocrafter":
+            raise ValueError(
+                f"{model_dir} holds a {meta.get('model_family')} checkpoint; "
+                "load it with ModelScopePipeline.from_native"
+            )
+        cfg = config_from_dict(VideoCrafterUNetConfig, meta["unet_cfg"])
+        vae_cfg = config_from_dict(VAEConfig, meta["vae_cfg"])
+        clip_cfg = config_from_dict(CLIPTextConfig, meta["clip_cfg"])
+        unet = VideoCrafterUNet(cfg=cfg, policy=policy)
+        vae = AutoencoderKL(cfg=vae_cfg, policy=policy)
+        clip = CLIPTextTransformer(cfg=clip_cfg, policy=policy)
+        tokenizer = CLIPTokenizer.find_and_load(
+            model_dir, os.path.dirname(model_dir)
+        )
+        return cls(
+            cfg=cfg, vae_cfg=vae_cfg, clip_cfg=clip_cfg, policy=policy,
+            unet=unet, vae=vae, clip=clip,
+            unet_params=_cast(data["unet_params"], policy.param_dtype),
+            vae_params=_cast(data["vae_params"], policy.param_dtype),
+            clip_params=_cast(data["clip_params"], policy.param_dtype),
+            tokenizer=tokenizer,
+            schedule=DiffusionSchedule.from_betas(
+                beta_schedule("linear", cfg.num_timesteps, cfg.linear_start, cfg.linear_end)
+            ),
+        )
+
+    @classmethod
     def from_checkpoint(
         cls,
         ckpt_path: str,

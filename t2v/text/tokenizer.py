@@ -85,8 +85,12 @@ class CLIPTokenizer:
         with opener(path, "rt", encoding="utf-8") as f:
             lines = f.read().split("\n")
         lines = lines[1 : 49152 - 256 - 2 + 1]
-        merges = [tuple(line.split()) for line in lines]
-        return cls(merges)
+        # tolerate short/truncated files: only well-formed "a b" pairs count
+        merges = [m for m in (tuple(l.split()) for l in lines) if len(m) == 2]
+        tok = cls(merges)
+        # remembered so savers (e.g. native checkpoints) can ship the vocab
+        tok.source_path = os.path.abspath(path)
+        return tok
 
     @classmethod
     def find_and_load(cls, *search_dirs: str) -> "CLIPTokenizer":
