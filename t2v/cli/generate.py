@@ -159,15 +159,10 @@ def main(argv=None) -> int:
     elif ns.model_dir and ns.model_type == "VideoCrafter":
         from t2v.pipeline.videocrafter import VideoCrafterPipeline
 
-        from t2v.io.orbax_io import is_native_checkpoint
-
-        ckpt = ns.model_dir
-        if os.path.isdir(ckpt) and is_native_checkpoint(ckpt):
-            pipe = VideoCrafterPipeline.from_native(ckpt, policy=policy)
+        if os.path.isdir(ns.model_dir):
+            pipe = VideoCrafterPipeline.from_model_dir(ns.model_dir, policy=policy)
         else:
-            if os.path.isdir(ckpt):
-                ckpt = os.path.join(ckpt, "model.ckpt")
-            pipe = VideoCrafterPipeline.from_checkpoint(ckpt, policy=policy)
+            pipe = VideoCrafterPipeline.from_checkpoint(ns.model_dir, policy=policy)
         for lora_path in ns.lora:  # LVDM lora_up/lora_down format
             skipped = pipe.load_lora(lora_path, ns.lora_alpha)
             print(f"merged LVDM LoRA {os.path.basename(lora_path)} (skipped {len(skipped)})")

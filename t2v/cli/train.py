@@ -147,18 +147,33 @@ def main(argv=None) -> int:
             parameterization=unet_cfg.parameterization,
         )
 
+    run_mode = {"lora_rank": ns.lora_rank, "ema": ns.ema_decay > 0}
     start_step = 0
     if ns.resume:
-        from t2v.io.orbax_io import latest_train_state, restore_train_state
+        from t2v.io.orbax_io import (
+            latest_train_state,
+            restore_train_state,
+            train_state_mode,
+        )
 
         resume_dir = (
             latest_train_state(ns.out) if ns.resume == "auto" else ns.resume
         )
         if resume_dir is None:
             raise SystemExit(f"--resume: no train state found under {ns.out}")
+        saved_mode = train_state_mode(resume_dir)
+        if saved_mode and saved_mode != run_mode:
+            raise SystemExit(
+                f"--resume: {resume_dir} was saved by a run with "
+                f"{saved_mode}, incompatible with this run's {run_mode} "
+                "(match --lora-rank/--ema-decay or start fresh)"
+            )
         state = restore_train_state(resume_dir, state)
         start_step = int(state.step)
         print(f"resumed from {resume_dir} at step {start_step}")
+        if start_step >= ns.steps:
+            print(f"already at step {start_step} >= --steps {ns.steps}; nothing to do")
+            return 0
 
     ds = WebVidDataset(
         ns.data_dir,
@@ -166,12 +181,15 @@ def main(argv=None) -> int:
         video_length=ns.frames,
         resolution=(ns.resolution, ns.resolution),
         frame_stride=ns.frame_stride,
-        seed=ns.seed,
+        # a resumed run draws from a re-seeded shuffle rather than replaying
+        # the clips/crops the first run already consumed (exact stream
+        # continuation would need dataset-position checkpointing)
+        seed=ns.seed + start_step,
     )
     print(f"dataset: {len(ds)} clips; mesh {mesh.devices.shape}")
 
     key = jax.random.key(ns.seed)
-    # distinct batches/noise after a resume: fold the start step into the key
+    # distinct diffusion noise/timesteps after a resume
     if start_step:
         key = jax.random.fold_in(key, start_step)
     step = start_step
@@ -221,7 +239,7 @@ def main(argv=None) -> int:
                     tokenizer_vocab=getattr(tok, "source_path", None),
                 )
             # full state (params + optimizer + EMA + step) for --resume
-            save_train_state(f"{ns.out}/step_{step}", state)
+            save_train_state(f"{ns.out}/step_{step}", state, mode=run_mode)
             print(f"saved {out}")
         if step >= ns.steps:
             break

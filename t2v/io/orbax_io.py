@@ -44,13 +44,13 @@ def save_native(
     ckpt.save(os.path.join(out_dir, "vae"), vae_params, force=True)
     ckpt.save(os.path.join(out_dir, "clip"), clip_params, force=True)
     if tokenizer_vocab and os.path.exists(tokenizer_vocab):
-        # ship the BPE vocab so the native dir is self-contained
+        # ship the BPE vocab so the native dir is self-contained; no-op when
+        # saving over the dir the vocab came from (same-file copy raises)
         import shutil
 
-        shutil.copy(
-            tokenizer_vocab,
-            os.path.join(out_dir, os.path.basename(tokenizer_vocab)),
-        )
+        target = os.path.join(out_dir, os.path.basename(tokenizer_vocab))
+        if os.path.abspath(tokenizer_vocab) != os.path.abspath(target):
+            shutil.copy(tokenizer_vocab, target)
     meta = {
         "format_version": FORMAT_VERSION,
         "model_family": model_family,
@@ -78,10 +78,13 @@ def is_native_checkpoint(model_dir: str) -> bool:
     return os.path.exists(os.path.join(model_dir, "t2v_native.json"))
 
 
-def save_train_state(out_dir: str, state: Any) -> str:
+def save_train_state(out_dir: str, state: Any, mode: dict | None = None) -> str:
     """Full training state (params + optimizer state + step + EMA) for
     resume. The reference had no training resume at all (SURVEY.md §5.4 —
-    inference-only checkpoint loading); here it is first-class."""
+    inference-only checkpoint loading); here it is first-class. ``mode``
+    records run-shape facts (lora rank, ema on/off) so an incompatible
+    --resume fails with a clear message instead of an orbax tree
+    mismatch."""
     out_dir = os.path.abspath(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     import jax
@@ -95,9 +98,18 @@ def save_train_state(out_dir: str, state: Any) -> str:
     _checkpointer().save(
         os.path.join(out_dir, "train_state"), jax.device_get(tree), force=True
     )
+    meta = {"format_version": FORMAT_VERSION, "step": int(state.step)}
+    if mode:
+        meta["mode"] = mode
     with open(os.path.join(out_dir, "train_state.json"), "w") as f:
-        json.dump({"format_version": FORMAT_VERSION, "step": int(state.step)}, f)
+        json.dump(meta, f)
     return out_dir
+
+
+def train_state_mode(out_dir: str) -> dict:
+    """The ``mode`` dict recorded at save time ({} for older states)."""
+    with open(os.path.join(out_dir, "train_state.json")) as f:
+        return json.load(f).get("mode", {})
 
 
 def has_train_state(out_dir: str) -> bool:

@@ -192,3 +192,31 @@ class AutoencoderKL(nn.Module):
     def __call__(self, x):
         mean, logvar = self.encode(x)
         return self.decode(mean), (mean, logvar)
+
+
+def make_encode_latents_fn(vae: "AutoencoderKL", scale: float):
+    """Jitted (params, images) -> scaled posterior-mean latents: encode and
+    the x scale factor in ONE program (eager device ops on serving paths
+    each cost a dispatch round-trip). Shared by both pipeline families."""
+
+    @jax.jit
+    def fn(params, x):
+        mean, _ = vae.apply(params, x, method=AutoencoderKL.encode)
+        return mean.astype(jnp.float32) * scale
+
+    return fn
+
+
+def make_decode_uint8_fn(vae: "AutoencoderKL", scale: float):
+    """Jitted (params, scaled latents) -> uint8 RGB frames: latent unscale,
+    decode, tensor2vid normalisation (clip((x+1)/2)), and quantisation in
+    ONE program, so the host readback is uint8 (4x smaller than float)."""
+    inv = 1.0 / float(scale)
+
+    @jax.jit
+    def fn(params, z):
+        img = vae.apply(params, z * inv, method=AutoencoderKL.decode)
+        img = jnp.clip(img.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+        return jnp.round(img * 255.0).astype(jnp.uint8)
+
+    return fn

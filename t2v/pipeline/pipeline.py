@@ -237,30 +237,19 @@ class ModelScopePipeline:
         return lambda z: fn(params, z)
 
     def _make_encode_fn(self):
-        """Encode + posterior-mean scaling in ONE program (every eager op
-        on the serving path is a dispatch round-trip)."""
-        vae, params = self.vae, self.vae_params
+        from t2v.models.vae import make_encode_latents_fn
 
-        @jax.jit
-        def fn(p, x):
-            mean, _ = vae.apply(p, x, method=AutoencoderKL.encode)
-            return mean.astype(jnp.float32) * SCALE_FACTOR
-
+        fn = make_encode_latents_fn(self.vae, SCALE_FACTOR)
+        params = self.vae_params
         return lambda x: fn(params, x)
 
     def _make_decode_uint8_fn(self):
-        """Latent unscale + decode + tensor2vid normalisation
-        (t2v_pipeline.py:447-460) + uint8 quantisation in ONE program:
-        no eager device math, and the host readback is uint8 (4x smaller
-        than the old float transfer)."""
-        vae, params = self.vae, self.vae_params
+        """tensor2vid normalisation per t2v_pipeline.py:447-460, fused into
+        the decode program (see models.vae.make_decode_uint8_fn)."""
+        from t2v.models.vae import make_decode_uint8_fn
 
-        @jax.jit
-        def fn(p, z):
-            img = vae.apply(p, z * (1.0 / SCALE_FACTOR), method=AutoencoderKL.decode)
-            img = jnp.clip(img.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
-            return jnp.round(img * 255.0).astype(jnp.uint8)
-
+        fn = make_decode_uint8_fn(self.vae, SCALE_FACTOR)
+        params = self.vae_params
         return lambda z: fn(params, z)
 
     def compute_latents(self, frames_rgb: np.ndarray) -> jax.Array:

@@ -121,14 +121,7 @@ def run(
             model_dir = _resolve_model_dir(
                 args.model if args.model != "<modelscope>" else "<videocrafter>"
             )
-            from t2v.io.orbax_io import is_native_checkpoint
-
-            if is_native_checkpoint(model_dir):
-                pipe = VideoCrafterPipeline.from_native(model_dir)
-            else:
-                pipe = VideoCrafterPipeline.from_checkpoint(
-                    os.path.join(model_dir, "model.ckpt")
-                )
+            pipe = VideoCrafterPipeline.from_model_dir(model_dir)
         else:
             pipe = load_pipeline(_resolve_model_dir(args.model))
 

@@ -157,6 +157,22 @@ class VideoCrafterPipeline:
         )
 
     @classmethod
+    def from_model_dir(
+        cls, model_dir: str, policy: Policy = Policy.bf16(), **kw
+    ) -> "VideoCrafterPipeline":
+        """Load either layout from a directory: a t2v-native (orbax) dir —
+        detected by its manifest — or the reference's ``model.ckpt``
+        Lightning layout. The single dispatch point for every entry
+        (CLI, API, orchestrator)."""
+        from t2v.io.orbax_io import is_native_checkpoint
+
+        if is_native_checkpoint(model_dir):
+            return cls.from_native(model_dir, policy=policy)
+        return cls.from_checkpoint(
+            os.path.join(model_dir, "model.ckpt"), policy=policy, **kw
+        )
+
+    @classmethod
     def from_checkpoint(
         cls,
         ckpt_path: str,
@@ -278,10 +294,13 @@ class VideoCrafterPipeline:
         the TPU replacement for the reference's encode_bs=1 chunk loop."""
         b, t = depth_video.shape[:2]
         merged = jnp.asarray(depth_video).reshape((b * t,) + depth_video.shape[2:])
-        key = ("adapter_feats", id(adapter))
+        # keyed by config, not object identity: load_adapter returns a
+        # fresh Adapter per request, and params arrive as an argument, so
+        # same-config adapters share one compiled program (bounded cache)
+        key = ("adapter_feats", repr(adapter.cfg))
         fn = self._sample_cache.get(key)
         if fn is None:
-            # jitted once per adapter: an eager apply runs op-by-op
+            # jitted once per adapter config: an eager apply runs op-by-op
             fn = jax.jit(adapter.apply)
             self._sample_cache[key] = fn
         feats = fn(adapter_params, merged)
@@ -484,17 +503,14 @@ class VideoCrafterPipeline:
     def compute_latents(self, frames_rgb) -> jax.Array:
         """(F, H, W, 3) float in [-1,1] → (1, F, h, w, 4) scaled latents —
         the LVDM 2D frame-batched encode (ddpm3d.py:769-819), posterior
-        mean × scale_factor. Scaling happens inside the jitted program
-        (eager device ops cost a dispatch round-trip each)."""
+        mean × scale_factor, fused into one program
+        (models.vae.make_encode_latents_fn)."""
         if self._encode_fn is None:
-            vae, scale = self.vae, float(self.cfg.scale_factor)
+            from t2v.models.vae import make_encode_latents_fn
 
-            @jax.jit
-            def enc(p, z):
-                mean, _ = vae.apply(p, z, method=AutoencoderKL.encode)
-                return mean.astype(jnp.float32) * scale
-
-            self._encode_fn = enc
+            self._encode_fn = make_encode_latents_fn(
+                self.vae, float(self.cfg.scale_factor)
+            )
         x = jnp.asarray(frames_rgb, jnp.float32)
         chunks = []
         for i in range(0, x.shape[0], DECODE_CHUNK):
@@ -502,18 +518,13 @@ class VideoCrafterPipeline:
         return jnp.concatenate(chunks, axis=0)[None]
 
     def decode_latents(self, latents: jax.Array) -> np.ndarray:
-        """Unscale + decode + normalisation + uint8 quantisation in one
-        jitted program; the readback is uint8 (4x smaller transfer)."""
+        """Unscale/decode/normalise/quantise in one jitted program with a
+        uint8 readback (models.vae.make_decode_uint8_fn)."""
         if self._decode_fn is None:
-            vae, vp = self.vae, self.vae_params
-            inv_scale = 1.0 / float(self.cfg.scale_factor)
+            from t2v.models.vae import make_decode_uint8_fn
 
-            @jax.jit
-            def fn(p, z):
-                img = vae.apply(p, z * inv_scale, method=AutoencoderKL.decode)
-                img = jnp.clip(img.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
-                return jnp.round(img * 255.0).astype(jnp.uint8)
-
+            fn = make_decode_uint8_fn(self.vae, float(self.cfg.scale_factor))
+            vp = self.vae_params
             self._decode_fn = lambda z: fn(vp, z)
         outs = []
         for i in range(0, latents.shape[0], DECODE_CHUNK):
