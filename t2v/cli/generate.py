@@ -42,14 +42,39 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inpainting-image")
     p.add_argument("--inpainting-frames", type=int, default=0)
     p.add_argument("--inpainting-weights", default='0:(t/max_i_f), "max_i_f":(1)')
+    p.add_argument(
+        "--inpaint-mode", default="initial_only",
+        choices=["initial_only", "progressive"],
+        help="initial_only = reference parity (mask applied once to the "
+        "start latents); progressive = per-step hardening re-blend (the "
+        "behaviour the reference's dead inpaint_masking code intended)",
+    )
     # lora
     p.add_argument("--lora", action="append", default=[], help=".safetensors stable-lora file (repeatable)")
     p.add_argument("--lora-alpha", type=float, default=1.0)
 
+    p.add_argument(
+        "--vc-sample-type", default="ddim", choices=["ddim", "ddpm"],
+        help="VideoCrafter denoising chain (sample_utils.py:56-87)",
+    )
+    p.add_argument(
+        "--uc-type", default=None, choices=["cfg_original", "cfg_ours"],
+        help="VideoCrafter CFG variant (lvdm ddim.py:233-241); default is "
+        "the standard uc + s*(c-uc)",
+    )
     p.add_argument("--adapter-ckpt", help="T2I-Adapter checkpoint (VideoCrafter depth conditioning)")
     p.add_argument("--adapter-video", help="depth-map video for the adapter (external MiDaS output)")
 
     p.add_argument("--embeddings-dir", help="textual-inversion embeddings directory (A1111 .pt/.safetensors)")
+    p.add_argument(
+        "--comma-padding-backtrack", type=int, default=20,
+        help="A1111 opts.comma_padding_backtrack: move the tail after a "
+        "comma to the next 75-token chunk when within N tokens (0 = off)",
+    )
+    p.add_argument(
+        "--no-emphasis", action="store_true",
+        help="disable (word:1.2) emphasis parsing (A1111 opts.enable_emphasis)",
+    )
     p.add_argument(
         "--deep-cache", type=int, default=1, metavar="K",
         help="DeepCache acceleration: full UNet every K steps, cached deep "
@@ -81,6 +106,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--json", action="store_true", help="print result as JSON")
+    p.add_argument(
+        "--no-keep-in-vram", action="store_true",
+        help="drop the pipeline cache after each run (reference keep-in-VRAM "
+        "'None' setting) — mainly for the --serve mode",
+    )
     return p
 
 
@@ -128,6 +158,8 @@ def main(argv=None) -> int:
         inpainting_image=ns.inpainting_image,
         inpainting_frames=ns.inpainting_frames,
         inpainting_weights=ns.inpainting_weights,
+        comma_padding_backtrack=ns.comma_padding_backtrack,
+        enable_emphasis=not ns.no_emphasis,
         model_type=ns.model_type,
         model=ns.model,
     )
@@ -174,14 +206,12 @@ def main(argv=None) -> int:
                 print(f"loaded textual-inversion embeddings: {', '.join(loaded)}")
         for lora_path in ns.lora:
             from t2v.io.safetensors_io import load_safetensors
-            from t2v.pipeline.lora import merge_stable_lora, unet_module_index
 
             lora_sd, meta = load_safetensors(lora_path)
-            merged, skipped = merge_stable_lora(
-                pipe.unet_params, lora_sd, ns.lora_alpha, unet_module_index(pipe.unet_cfg)
-            )
-            pipe.unet_params = merged
-            print(f"merged LoRA {os.path.basename(lora_path)} (skipped {len(skipped)} modules)")
+            # merges UNet AND the CLIP text tower (lora_webui.py:186-187)
+            skipped = pipe.apply_stable_lora(lora_sd, ns.lora_alpha)
+            n_skip = len(set(skipped["unet"]) & set(skipped["clip"]))
+            print(f"merged LoRA {os.path.basename(lora_path)} (skipped {n_skip} modules)")
 
     if ns.profile:
         import jax
@@ -192,6 +222,8 @@ def main(argv=None) -> int:
         args, out_args, pipe=pipe, outdir=ns.outdir,
         adapter_ckpt=ns.adapter_ckpt, adapter_video=ns.adapter_video,
         dp_shards=ns.dp_shards, deep_cache_interval=ns.deep_cache,
+        keep_in_vram=not ns.no_keep_in_vram, inpaint_mode=ns.inpaint_mode,
+        vc_sample_type=ns.vc_sample_type, vc_uc_type=ns.uc_type,
     )
 
     if ns.profile:

@@ -238,8 +238,15 @@ def main(argv=None) -> int:
                     model_family="videocrafter" if is_vc else "modelscope",
                     tokenizer_vocab=getattr(tok, "source_path", None),
                 )
-            # full state (params + optimizer + EMA + step) for --resume
-            save_train_state(f"{ns.out}/step_{step}", state, mode=run_mode)
+            # full state (params + optimizer + EMA + step) for --resume.
+            # LoRA runs use a distinct dir name: a train-state-only step_N/
+            # would look like a generation checkpoint to `generate
+            # --model-dir` but carry no t2v_native.json
+            state_dir = (
+                f"{ns.out}/lora_state_{step}" if ns.lora_rank > 0
+                else f"{ns.out}/step_{step}"
+            )
+            save_train_state(state_dir, state, mode=run_mode)
             print(f"saved {out}")
         if step >= ns.steps:
             break

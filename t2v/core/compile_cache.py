@@ -35,6 +35,13 @@ def enable_compile_cache(path: Optional[str] = None) -> Optional[str]:
     if env == "0":
         return None
     if _enabled is not None:
+        # the first caller wins — JAX's cache dir is process-global. An
+        # explicit conflicting path deserves a loud notice, not silence.
+        if path and os.path.abspath(path) != os.path.abspath(_enabled):
+            print(
+                f"t2v: compile cache already active at {_enabled}; "
+                f"ignoring requested {path}"
+            )
         return _enabled
     target = path or env or _DEFAULT_DIR
     try:

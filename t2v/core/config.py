@@ -180,9 +180,15 @@ class T2VArgs:
     inpainting_image: str | None = None
     inpainting_frames: int = 0
     inpainting_weights: str = '0:(t/max_i_f), "max_i_f":(1)'
-    # model selection
+    # prompt-processing settings — A1111 exposes these as global webui
+    # options (opts.comma_padding_backtrack, opts.enable_emphasis,
+    # clip_hardcode.py:153-156,203-214); here they ride the request
+    comma_padding_backtrack: int = 20
+    enable_emphasis: bool = True
+    # model selection. model=None with a warm pipe reuses the previously
+    # loaded model (process_modelscope.py:62-66)
     model_type: str = "ModelScope"  # "ModelScope" | "VideoCrafter"
-    model: str = "<modelscope>"
+    model: str | None = "<modelscope>"
 
     def replace(self, **kw: Any) -> "T2VArgs":
         return dataclasses.replace(self, **kw)

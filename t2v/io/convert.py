@@ -166,8 +166,12 @@ def convert_unet(sd: SD, cfg: ModelScopeUNetConfig) -> dict:
 
 
 def strip_first_stage_prefix(sd: SD) -> dict[str, Array]:
-    """VQGAN_autoencoder.pth carries 'first_stage_model.' prefixes
-    (t2v_model.py:1619-1631); loss.* keys are discarded."""
+    """VQGAN_autoencoder.pth wraps everything under a top-level
+    'state_dict' key and carries 'first_stage_model.' prefixes — the
+    reference loads ``torch.load(path)['state_dict']`` and keeps only the
+    prefixed keys (t2v_model.py:1619-1631); loss.* keys are discarded."""
+    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = sd["state_dict"]
     out = {}
     for k, v in sd.items():
         if "first_stage_model" in k:
@@ -325,15 +329,20 @@ def torch_module_index(cfg: ModelScopeUNetConfig) -> dict[str, tuple[tuple[str, 
 
 
 def clip_module_index(cfg) -> dict[str, tuple[tuple[str, ...], str]]:
-    """Same index for the OpenCLIP text tower (stable-lora also patches the
-    CLIP transformer, lora_webui.py:187)."""
+    """Stable-lora module index for the OpenCLIP text tower.
+
+    The reference merges CLIP LoRAs against ``clip_encoder.model.
+    transformer`` (lora_webui.py:187), so lora-file keys are named relative
+    to the *transformer* submodule (``resblocks.N.attn.out_proj`` …), and
+    modules outside it (token_embedding, ln_final) are unreachable there.
+    Only nn.Linear leaves match (the fused attn in_proj is not a Linear
+    module, lora_processor.py:219-230)."""
     idx: dict[str, tuple[tuple[str, ...], str]] = {}
     n_layers = cfg.layers - (1 if cfg.layer == "penultimate" else 0)
     for i in range(n_layers):
-        tp = f"transformer.resblocks.{i}"
+        tp = f"resblocks.{i}"
         fp = (f"resblock_{i}",)
         idx[f"{tp}.attn.out_proj"] = (fp + ("out_proj",), "linear")
         idx[f"{tp}.mlp.c_fc"] = (fp + ("c_fc",), "linear")
         idx[f"{tp}.mlp.c_proj"] = (fp + ("c_proj",), "linear")
-    idx["token_embedding"] = (("token_embedding",), "embedding")
     return idx

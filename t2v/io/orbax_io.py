@@ -160,15 +160,20 @@ def restore_train_state(out_dir: str, template_state: Any) -> Any:
 
 
 def latest_train_state(root: str) -> str | None:
-    """Newest ``step_N`` dir under ``root`` that carries a train state."""
+    """Newest ``step_N`` / ``lora_state_N`` dir under ``root`` carrying a
+    train state (LoRA runs save states under the distinct ``lora_state_``
+    prefix so generation's --model-dir never mistakes them for full
+    checkpoints)."""
     if not os.path.isdir(root):
         return None
     best, best_step = None, -1
     for name in os.listdir(root):
         p = os.path.join(root, name)
-        if name.startswith("step_") and has_train_state(p):
+        if (
+            name.startswith("step_") or name.startswith("lora_state_")
+        ) and has_train_state(p):
             try:
-                s = int(name.split("_", 1)[1])
+                s = int(name.rsplit("_", 1)[1])
             except ValueError:
                 continue
             if s > best_step:

@@ -75,8 +75,15 @@ class _StorageType:
         self.name = name
 
 
+class _DictShim(dict):
+    """dict subclass standing in for collections.OrderedDict: real torch
+    checkpoints carry the state_dict's ``_metadata`` attribute through the
+    pickle BUILD opcode, which needs an instance ``__dict__`` (a plain dict
+    has none and fails to unpickle)."""
+
+
 _SAFE_GLOBALS: dict[tuple[str, str], Any] = {
-    ("collections", "OrderedDict"): dict,
+    ("collections", "OrderedDict"): _DictShim,
     ("torch._utils", "_rebuild_tensor_v2"): _rebuild_tensor_v2,
     ("torch._utils", "_rebuild_parameter"): _rebuild_parameter,
     ("torch", "Size"): tuple,

@@ -37,6 +37,93 @@ def find_ffmpeg_binary() -> Optional[str]:
     return shutil.which("ffmpeg")
 
 
+VIDEO_FILE_FORMATS = ("mov", "mpeg", "mp4", "m4v", "avi", "mpg", "webm")
+
+
+def is_url(path: str) -> bool:
+    return path.startswith("http://") or path.startswith("https://")
+
+
+def validate_video_path(video_path: str) -> bool:
+    """Input validation for vid2vid sources — local paths AND URLs
+    (video_audio_utils.py:81-101): extension whitelist, existence check for
+    files, reachability (HEAD) for URLs. Raises on failure, returns True."""
+    extension = video_path.rsplit(".", 1)[-1].lower()
+    # strip querystrings from URL extensions before checking
+    extension = extension.split("?", 1)[0].split("#", 1)[0]
+    if is_url(video_path):
+        import urllib.request
+
+        req = urllib.request.Request(video_path, method="HEAD")
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                status = getattr(resp, "status", 200)
+        except Exception as e:
+            raise ConnectionError(f"Video URL is not valid: {e}") from e
+        if status != 200:
+            raise ConnectionError(
+                f"Video URL is not valid. Response status code: {status}"
+            )
+        if extension not in VIDEO_FILE_FORMATS:
+            raise ValueError(
+                f"Video file format '{extension}' not supported. "
+                f"Supported formats are: {list(VIDEO_FILE_FORMATS)}"
+            )
+    else:
+        if not os.path.exists(video_path):
+            raise RuntimeError("Video path does not exist.")
+        if extension not in VIDEO_FILE_FORMATS:
+            raise ValueError(
+                f"Video file format '{extension}' not supported. "
+                f"Supported formats are: {list(VIDEO_FILE_FORMATS)}"
+            )
+    return True
+
+
+def _download_video(url: str) -> str:
+    """Fetch a remote video to a temp file (the reference streams URLs
+    straight into cv2, which needs an ffmpeg-enabled build; downloading
+    first is robust either way)."""
+    import tempfile
+    import urllib.request
+
+    suffix = "." + url.rsplit(".", 1)[-1].split("?", 1)[0].split("#", 1)[0]
+    fd, tmp = tempfile.mkstemp(prefix="t2v_vid2vid_", suffix=suffix)
+    os.close(fd)
+    urllib.request.urlretrieve(url, tmp)
+    return tmp
+
+
+def clean_folder_name(string: str) -> str:
+    """Sanitise a string for folder use (video_audio_utils.py:104-107)."""
+    illegal_chars = "/\\<>:\"|?*.,\" "
+    return string.translate(str.maketrans(illegal_chars, "_" * len(illegal_chars)))
+
+
+def duplicate_pngs_from_folder(
+    from_folder: str, to_folder: str, img_batch_id: Optional[str], orig_vid_name: Optional[str]
+) -> int:
+    """Copy/re-encode a folder's PNG/JPG frames into ``from_folder/to_folder``
+    (video_audio_utils.py:234-252: re-encode normalises bit depth unless the
+    source was a video run). Returns the number of frames handled."""
+    dest = os.path.join(from_folder, to_folder)
+    os.makedirs(dest, exist_ok=True)
+    handled = 0
+    for f in sorted(os.listdir(from_folder)):
+        if not (("png" in f or "jpg" in f) and "-" not in f and "_depth_" not in f):
+            continue
+        if img_batch_id is not None and not f.startswith(img_batch_id):
+            continue
+        src = os.path.join(from_folder, f)
+        handled += 1
+        if orig_vid_name is not None:
+            shutil.copy(src, dest)
+        else:
+            img = cv2.imread(src)
+            cv2.imwrite(os.path.join(dest, f), img, [cv2.IMWRITE_PNG_COMPRESSION, 0])
+    return handled
+
+
 def vid2frames(
     video_path: str,
     out_dir: Optional[str] = None,
@@ -48,10 +135,23 @@ def vid2frames(
 ) -> list[np.ndarray]:
     """Extract frames [start_frame, end_frame) taking every n-th frame.
 
-    Returns RGB uint8 arrays; also writes PNGs when out_dir is given.
+    Accepts local paths or http(s) URLs (validated + fetched per
+    video_audio_utils.py:81-101). Returns RGB uint8 arrays; also writes
+    PNGs when out_dir is given.
     """
-    cap = cv2.VideoCapture(video_path)
+    tmp_download = None
+    if is_url(video_path):
+        validate_video_path(video_path)
+        cap = cv2.VideoCapture(video_path)
+        if not cap.isOpened():  # cv2 build without URL support
+            tmp_download = _download_video(video_path)
+            video_path = tmp_download
+            cap = cv2.VideoCapture(video_path)
+    else:
+        cap = cv2.VideoCapture(video_path)
     if not cap.isOpened():
+        if tmp_download:
+            os.remove(tmp_download)
         raise ValueError(f"cannot open video {video_path}")
     frames = []
     idx = 0
@@ -73,6 +173,8 @@ def vid2frames(
         if end_frame >= 0 and idx >= end_frame:
             break
     cap.release()
+    if tmp_download:
+        os.remove(tmp_download)
     return frames
 
 
@@ -298,11 +400,43 @@ def read_mp4_metadata_comment(path: str) -> Optional[str]:
     comment=`` (the infotext provenance atom, reference
     video_audio_utils.py:206-210).
     """
+    # stream over the top-level boxes and load only `moov` (metadata-only,
+    # typically KBs) — never the media payload (`mdat` can be GBs)
+    import struct
+
+    moov_cap = 64 * 1024 * 1024
+    buf = None
+    size = os.path.getsize(path)
     with open(path, "rb") as f:
-        buf = f.read()
+        pos = 0
+        while pos + 8 <= size:
+            f.seek(pos)
+            header = f.read(8)
+            if len(header) < 8:
+                break
+            box_size = struct.unpack(">I", header[:4])[0]
+            btype = header[4:8]
+            hdr_len = 8
+            if box_size == 1:  # 64-bit largesize
+                ext = f.read(8)
+                if len(ext) < 8:
+                    break
+                box_size = struct.unpack(">Q", ext)[0]
+                hdr_len = 16
+            elif box_size == 0:  # box extends to EOF
+                box_size = size - pos
+            if box_size < hdr_len:
+                break
+            if btype == b"moov":
+                n = min(box_size - hdr_len, moov_cap)
+                buf = f.read(n)
+                break
+            pos += box_size
+    if buf is None:
+        return None
     span = (0, len(buf))
     for btype, fullbox in (
-        (b"moov", False), (b"udta", False), (b"meta", True), (b"ilst", False),
+        (b"udta", False), (b"meta", True), (b"ilst", False),
         (b"\xa9cmt", False), (b"data", False),
     ):
         span = _find_box(buf, span[0], span[1], btype, fullbox)

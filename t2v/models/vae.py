@@ -24,6 +24,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from t2v.core.config import VAEConfig
 from t2v.core.dtypes import Policy
@@ -163,8 +164,64 @@ class Decoder(nn.Module):
         return _conv(p, cfg.out_channels, "conv_out")(h)
 
 
+class DiagonalGaussian:
+    """Diagonal-Gaussian posterior over latents (reference lvdm
+    distributions.py:5-46): sample / kl / nll / mode on an NHWC
+    (mean, logvar) pair — logvar pre-clamped to [-30, 20] by
+    ``AutoencoderKL.encode``. ``deterministic=True`` zeroes the variance
+    (the inference encode path uses the mean only)."""
+
+    def __init__(self, mean, logvar, deterministic: bool = False):
+        self.mean = mean
+        self.logvar = logvar
+        self.deterministic = deterministic
+        if deterministic:
+            self.var = self.std = jnp.zeros_like(mean)
+        else:
+            self.std = jnp.exp(0.5 * logvar)
+            self.var = jnp.exp(logvar)
+
+    def sample(self, key=None, noise=None):
+        if self.deterministic:
+            return self.mean
+        if noise is None:
+            noise = jax.random.normal(key, self.mean.shape, self.mean.dtype)
+        return self.mean + self.std * noise
+
+    def kl(self, other: "DiagonalGaussian | None" = None):
+        """KL to N(0, I) or to another diagonal Gaussian, summed over all
+        non-batch axes (reference sums dims [1,2,3] of NCHW; NHWC has the
+        same non-batch axis set)."""
+        if self.deterministic:
+            return jnp.zeros((self.mean.shape[0],), self.mean.dtype)
+        axes = tuple(range(1, self.mean.ndim))
+        if other is None:
+            return 0.5 * jnp.sum(
+                jnp.square(self.mean) + self.var - 1.0 - self.logvar, axis=axes
+            )
+        return 0.5 * jnp.sum(
+            jnp.square(self.mean - other.mean) / other.var
+            + self.var / other.var - 1.0 - self.logvar + other.logvar,
+            axis=axes,
+        )
+
+    def nll(self, sample):
+        if self.deterministic:
+            return jnp.zeros((self.mean.shape[0],), self.mean.dtype)
+        axes = tuple(range(1, self.mean.ndim))
+        log2pi = float(np.log(2.0 * np.pi))
+        return 0.5 * jnp.sum(
+            log2pi + self.logvar + jnp.square(sample - self.mean) / self.var,
+            axis=axes,
+        )
+
+    def mode(self):
+        return self.mean
+
+
 class AutoencoderKL(nn.Module):
-    """encode(x) -> (mean, logvar); decode(z) -> rgb. NHWC, x in [-1, 1]."""
+    """encode(x) -> (mean, logvar); decode(z) -> rgb. NHWC, x in [-1, 1].
+    Wrap the pair in :class:`DiagonalGaussian` for sample/kl/nll."""
 
     cfg: VAEConfig
     policy: Policy = Policy()

@@ -302,3 +302,29 @@ def save_stable_lora(
         meta.update({k: str(v) for k, v in metadata.items()})
     save_file(lora_to_stable_sd(lora), path, metadata=meta)
     return path
+
+
+def lora_to_lvdm_sd(lora: Mapping[str, dict]) -> dict[str, np.ndarray]:
+    """Flax LoRA tree → cloneofsimo/LVDM layout (lvdm lora.py:384-452
+    save_lora_weight / save_safeloras key scheme): per torch module name,
+    ``<name>.lora_down.weight`` (r, in) and ``<name>.lora_up.weight``
+    (out, r) — consumable by both ``merge_lvdm_lora`` and the reference's
+    ``net_load_lora`` (:620-672)."""
+    sd = {}
+    for name, ab in lora.items():
+        sd[f"{name}.lora_down.weight"] = np.asarray(ab["lora_A"], np.float32).T.copy()
+        sd[f"{name}.lora_up.weight"] = np.asarray(ab["lora_B"], np.float32).T.copy()
+    return sd
+
+
+def save_lvdm_lora(
+    path: str, lora: Mapping[str, dict], metadata: Mapping[str, str] | None = None
+) -> str:
+    """Write an extracted LoRA in the LVDM (cloneofsimo) format as
+    .safetensors — the extract/save half of the reference's lvdm lora zoo
+    (lora.py:384-452) that round 1 left out."""
+    from safetensors.numpy import save_file
+
+    meta = {k: str(v) for k, v in (metadata or {}).items()}
+    save_file(lora_to_lvdm_sd(lora), path, metadata=meta or None)
+    return path

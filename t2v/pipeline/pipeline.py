@@ -177,10 +177,19 @@ class ModelScopePipeline:
 
     @classmethod
     def from_model_dir(
-        cls, model_dir: str, policy: Policy = Policy.bf16()
+        cls,
+        model_dir: str,
+        policy: Policy = Policy.bf16(),
+        *,
+        vae_cfg: VAEConfig | None = None,
+        clip_cfg: CLIPTextConfig | None = None,
     ) -> "ModelScopePipeline":
         """Load the reference checkpoint layout (t2v_pipeline.py:67-146),
-        or a t2v-native (orbax) dir — detected by its manifest."""
+        or a t2v-native (orbax) dir — detected by its manifest.
+
+        ``vae_cfg``/``clip_cfg`` default to the real ModelScope components
+        (the reference hardcodes both, t2v_pipeline.py:117-141); overrides
+        support reduced-scale checkpoints (e.g. the parity harness)."""
         from t2v.io.orbax_io import is_native_checkpoint
 
         if is_native_checkpoint(model_dir):
@@ -200,13 +209,13 @@ class ModelScopePipeline:
         del sd_unet
         unet = UNetSD(cfg=unet_cfg, policy=policy)
 
-        vae_cfg = VAEConfig()
+        vae_cfg = vae_cfg or VAEConfig()
         sd_vae = load_torch_checkpoint(os.path.join(model_dir, ckpt_ae))
         vae_params = _cast_tree(convert_vae(sd_vae, vae_cfg), policy.param_dtype)
         del sd_vae
         vae = AutoencoderKL(cfg=vae_cfg, policy=policy)
 
-        clip_cfg = CLIPTextConfig.vit_h_14()
+        clip_cfg = clip_cfg or CLIPTextConfig.vit_h_14()
         sd_clip = load_torch_checkpoint(os.path.join(model_dir, ckpt_clip))
         clip_params = _cast_tree(
             convert_open_clip_text(sd_clip, clip_cfg), policy.param_dtype
@@ -226,6 +235,35 @@ class ModelScopePipeline:
         )
 
     # ------------------------------------------------------------------
+
+    def apply_stable_lora(
+        self, lora_sd, alpha: float = 1.0, *, undo: bool = False
+    ) -> dict[str, list[str]]:
+        """Merge a stable-lora state_dict into BOTH the UNet and the CLIP
+        text tower, matching the reference which iterates
+        ``[p.sd_model, p.clip_encoder.model.transformer]``
+        (lora_webui.py:186-187). ``undo=True`` reverses a prior merge of the
+        same file/alpha (the reference's unload bookkeeping,
+        lora_webui.py:163-203).
+
+        Returns {"unet": skipped, "clip": skipped} module-name lists.
+        """
+        from t2v.pipeline.lora import merge_stable_lora, text_module_index, unet_module_index
+
+        merged, skipped_unet = merge_stable_lora(
+            self.unet_params, lora_sd, alpha, unet_module_index(self.unet_cfg),
+            undo=undo,
+        )
+        self.unet_params = merged
+        skipped_clip: list[str] = []
+        if self.text_encoder is not None:
+            merged_clip, skipped_clip = merge_stable_lora(
+                self.text_encoder.params, lora_sd, alpha,
+                text_module_index(self.clip_cfg), undo=undo,
+            )
+            self.text_encoder.params = merged_clip
+            self.text_encoder.invalidate_cache()
+        return {"unet": skipped_unet, "clip": skipped_clip}
 
     def _vae_apply(self, method):
         vae, params = self.vae, self.vae_params
@@ -320,9 +358,11 @@ class ModelScopePipeline:
         image_rgb: np.ndarray,
         args: T2VArgs,
         key: jax.Array,
-    ) -> tuple[jax.Array, jax.Array]:
-        """img2vid: keyframed mask + masked latents
-        (process_modelscope.py:170-219)."""
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """img2vid: (masked_latents, mask, image_latents)
+        (process_modelscope.py:170-219). ``image_latents`` — the clean
+        source-image latents — feed the progressive per-step re-blend
+        (``inpaint_mode='progressive'``)."""
         ss = _spatial_scale(self.vae_cfg)
         lat_h, lat_w = args.height // ss, args.width // ss
         keys = KeyFrameSeries(args.frames, args.seed, max(args.inpainting_frames, 1))
@@ -339,7 +379,7 @@ class ModelScopePipeline:
             jax.random.normal(rng_lib.stream(key, "inpaint_init"), mask.shape)
         )
         masked = image_latents * (1 - mask) + noise * mask
-        return jnp.asarray(masked), jnp.asarray(mask)
+        return jnp.asarray(masked), jnp.asarray(mask), jnp.asarray(image_latents)
 
     # ------------------------------------------------------------------
 
@@ -357,6 +397,7 @@ class ModelScopePipeline:
         *,
         latents: Optional[jax.Array] = None,
         mask: Optional[jax.Array] = None,
+        image_latents: Optional[jax.Array] = None,
         skip_steps: int = 0,
         is_vid2vid: bool = False,
         callback: Optional[Callable[[int], None]] = None,
@@ -377,6 +418,10 @@ class ModelScopePipeline:
 
         assert self.text_encoder is not None
         t0 = time.perf_counter()
+        # request-level prompt settings (A1111 opts parity; the encoder's
+        # line cache keys on both, so switching is safe)
+        self.text_encoder.comma_backtrack = args.comma_padding_backtrack
+        self.text_encoder.enable_emphasis = args.enable_emphasis
         conditioning = self.text_encoder.encode_request(
             args.prompt, args.n_prompt, steps
         )
@@ -415,10 +460,11 @@ class ModelScopePipeline:
                 steps, shape, args.sampler, float(args.cfg_scale),
                 float(args.eta), float(args.strength), is_vid2vid,
                 inpaint_mode, latents is not None, mask is not None,
+                image_latents is not None,
             )
 
             def build():
-                def f(params, key, cond, uncond, latents, mask):
+                def f(params, key, cond, uncond, latents, mask, image_latents):
                     def apply_fn(x, t, ctx):
                         return unet.apply(params, x, t, ctx)
 
@@ -428,7 +474,8 @@ class ModelScopePipeline:
                         guidance_scale=args.cfg_scale, eta=args.eta,
                         sampler_name=args.sampler, key=key, latents=latents,
                         is_vid2vid=is_vid2vid, strength=args.strength,
-                        mask=mask, inpaint_mode=inpaint_mode,
+                        mask=mask, image_latents=image_latents,
+                        inpaint_mode=inpaint_mode,
                         parameterization=self.unet_cfg.parameterization,
                     )
 
@@ -436,7 +483,7 @@ class ModelScopePipeline:
 
             x0 = self._sampler_fn(static, build)(
                 self.unet_params, key, conditioning.cond, conditioning.uncond,
-                latents, mask,
+                latents, mask, image_latents,
             )
         elif args.sampler == "UniPC":
             x0 = self._infer_unipc(
@@ -464,17 +511,18 @@ class ModelScopePipeline:
                 "window", steps, shape, args.sampler, float(args.cfg_scale),
                 float(args.eta), float(args.strength), is_vid2vid,
                 inpaint_mode, latents is not None, mask is not None,
+                image_latents is not None,
             )
 
             def build_window(n):
                 def build():
-                    def f(params, x, start, cond, uncond, mask, wkey):
+                    def f(params, x, start, cond, uncond, mask, img_lat, wkey):
                         def apply_fn(xx, tt, cc):
                             return unet.apply(params, xx, tt, cc)
 
                         body = make_step_body(
                             mod, p, apply_fn, cond, uncond, args.cfg_scale,
-                            wkey, args.eta, mask, None, inpaint_mode,
+                            wkey, args.eta, mask, img_lat, inpaint_mode,
                             self.schedule,
                             parameterization=self.unet_cfg.parameterization,
                         )
@@ -491,7 +539,7 @@ class ModelScopePipeline:
                 fn = self._sampler_fn(base_static + (n,), build_window(n))
                 x = fn(
                     self.unet_params, x, done, conditioning.cond,
-                    conditioning.uncond, mask, key,
+                    conditioning.uncond, mask, image_latents, key,
                 )
                 x.block_until_ready()
                 done += n
@@ -523,10 +571,15 @@ class ModelScopePipeline:
 
         unet = self.unet
         cond, uncond = conditioning.cond, conditioning.uncond
+        # vid2vid IS windowable: the plan just starts at t=strength and the
+        # start state is the encoded source (the multistep model history
+        # already crosses windows). Masked inpainting falls back to the
+        # monolithic jit (UniPC has no frame-inpaint support, reference
+        # samplers_common.py:90-93).
         windowable = (
             callback is not None
             and callback_interval is not None
-            and latents is None
+            and (latents is None or is_vid2vid)
             and mask is None
             and steps >= 2 * unipc.ORDER
         )
@@ -563,7 +616,9 @@ class ModelScopePipeline:
 
         from t2v.diffusion.sampling import _unipc_model_fn
 
-        p = unipc.plan(self.schedule, steps)
+        vid2vid = latents is not None and is_vid2vid
+        t_start = float(args.strength) if vid2vid else None
+        p = unipc.plan(self.schedule, steps, t_start=t_start)
 
         def make_model_fn(params):
             def apply_fn(x, t, ctx):
@@ -574,7 +629,10 @@ class ModelScopePipeline:
                 parameterization=self.unet_cfg.parameterization,
             )
 
-        base = ("unipc-win", steps, shape, float(args.cfg_scale))
+        base = (
+            "unipc-win", steps, shape, float(args.cfg_scale),
+            vid2vid, float(args.strength) if vid2vid else None,
+        )
 
         def build_warm():
             def f(params, x):
@@ -599,7 +657,13 @@ class ModelScopePipeline:
 
             return jax.jit(f)
 
-        x = rng_lib.latent_noise(key, shape).astype(jnp.float32)
+        if vid2vid:
+            noise = rng_lib.latent_noise(key, shape)
+            x = unipc.encode_vid2vid(
+                self.schedule, latents, noise, args.strength, steps
+            ).astype(jnp.float32)
+        else:
+            x = rng_lib.latent_noise(key, shape).astype(jnp.float32)
         x, models = self._sampler_fn(base + ("warm",), build_warm)(
             self.unet_params, x
         )
@@ -733,16 +797,19 @@ def load_pipeline(
     model_dir: str, policy: Policy = Policy.bf16(), keep_in_vram: bool = True
 ) -> ModelScopePipeline:
     """Cached loader with model hot-switch semantics: a new dir tears down
-    the previous pipeline (process_modelscope.py:62-66)."""
+    the previous pipeline (process_modelscope.py:62-66).
+
+    keep_in_vram=False skips caching entirely (the reference's keep-in-VRAM
+    'None' setting, t2v_pipeline.py:74): the pipeline lives only for the
+    caller's run and the next load re-reads checkpoints."""
     from t2v.core.compile_cache import enable_compile_cache
 
     enable_compile_cache()
     key = (os.path.abspath(model_dir), policy.param_dtype)
     if key in _PIPELINE_CACHE:
         return _PIPELINE_CACHE[key]
-    if not keep_in_vram:
-        _PIPELINE_CACHE.clear()
-    pipe = ModelScopePipeline.from_model_dir(model_dir, policy)
     _PIPELINE_CACHE.clear()
-    _PIPELINE_CACHE[key] = pipe
+    pipe = ModelScopePipeline.from_model_dir(model_dir, policy)
+    if keep_in_vram:
+        _PIPELINE_CACHE[key] = pipe
     return pipe

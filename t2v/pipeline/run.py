@@ -45,6 +45,11 @@ def _default_outdir() -> str:
     return os.path.join(os.getcwd(), "outputs", "text2video")
 
 
+# the reference's module-global warm pipe (process_modelscope.py:29): reused
+# when a request omits the model; cleared when keep_in_vram is off
+_warm_pipe = None
+
+
 def _prepare_vid2vid(pipe: ModelScopePipeline, args: T2VArgs):
     """vid2vid inputs (process_modelscope.py:80-147)."""
     import math
@@ -86,11 +91,19 @@ def run(
     adapter_video: Optional[str] = None,
     dp_shards: int = 1,
     deep_cache_interval: int = 1,
+    keep_in_vram: bool = True,
+    inpaint_mode: str = "initial_only",
+    vc_sample_type: str = "ddim",
+    vc_uc_type: Optional[str] = None,
 ) -> RunResult:
     """error_video_on_failure=True reproduces the reference UI behaviour:
     any generation exception yields the error-placeholder data-URL instead
     of propagating (render.py:15-44, error_hardcode.py). The API layer uses
-    the exception path (api_t2v.py 500 handling)."""
+    the exception path (api_t2v.py 500 handling).
+
+    keep_in_vram=False drops the pipeline cache after the run (the
+    reference's keep-in-VRAM webui option, render.py:40-43): the next
+    request reloads checkpoints from disk."""
     if error_video_on_failure:
         try:
             return run(
@@ -99,6 +112,8 @@ def run(
                 error_video_on_failure=False,
                 adapter_ckpt=adapter_ckpt, adapter_video=adapter_video,
                 dp_shards=dp_shards, deep_cache_interval=deep_cache_interval,
+                keep_in_vram=keep_in_vram, inpaint_mode=inpaint_mode,
+                vc_sample_type=vc_sample_type, vc_uc_type=vc_uc_type,
             )
         except Exception:
             import traceback
@@ -112,18 +127,29 @@ def run(
     job_state = job_state or default_state
     sanity_check_args(args)
 
+    global _warm_pipe
     if pipe is None:
+        if args.model is None and _warm_pipe is not None:
+            # warm-pipe quirk: an omitted model with a loaded pipe reuses
+            # the previous model instead of the default
+            # (process_modelscope.py:62-66)
+            pipe = _warm_pipe
         # '<videocrafter>' implies the family even when model_type was not
         # set explicitly (the UI/API may pass only the model selector)
-        if args.model_type == "VideoCrafter" or args.model == "<videocrafter>":
-            from t2v.pipeline.videocrafter import VideoCrafterPipeline
+        elif args.model_type == "VideoCrafter" or args.model == "<videocrafter>":
+            from t2v.pipeline.videocrafter import load_vc_pipeline
 
+            model = args.model or "<videocrafter>"
             model_dir = _resolve_model_dir(
-                args.model if args.model != "<modelscope>" else "<videocrafter>"
+                model if model != "<modelscope>" else "<videocrafter>"
             )
-            pipe = VideoCrafterPipeline.from_model_dir(model_dir)
+            pipe = load_vc_pipeline(model_dir, keep_in_vram=keep_in_vram)
         else:
-            pipe = load_pipeline(_resolve_model_dir(args.model))
+            pipe = load_pipeline(
+                _resolve_model_dir(args.model or "<modelscope>"),
+                keep_in_vram=keep_in_vram,
+            )
+    _warm_pipe = pipe if keep_in_vram else None
 
     job_state.reset()
     result = RunResult()
@@ -171,12 +197,16 @@ def run(
     # Data-parallel batch sampling (reference DDP path, §5.8): all
     # batch_count samples in one mesh-sharded computation. txt2vid only —
     # vid2vid/inpainting keep the serial per-batch loop.
+    # eta > 0 is allowed: each sample draws distinct per-step noise inside
+    # the batched scan, but the draws use a shared stream rather than the
+    # serial path's per-batch keys — DP==serial bit-parity holds only for
+    # eta == 0 (the reference's DDP made no reproducibility promise at all,
+    # sample_text2video.py:174-188)
     if (
         dp_shards > 1
         and args.batch_count > 1
         and not is_vid2vid
         and not (args.inpainting_frames > 0 and args.inpainting_image)
-        and args.eta == 0.0  # per-sample-seed parity holds without eta noise
     ):
         return _run_dp(
             pipe, args, out_args, outdir, resolved_seed, timestring,
@@ -191,14 +221,22 @@ def run(
 
         batch_args = args.replace(seed=resolved_seed)
 
+        image_latents = None
+        vc_mask = vc_source = None
         if args.inpainting_frames > 0 and args.inpainting_image:
             import cv2
 
             img = cv2.cvtColor(cv2.imread(args.inpainting_image), cv2.COLOR_BGR2RGB)
             img = cv2.resize(img, (args.width, args.height))
-            key = rng_lib.key_for_seed(resolved_seed + batch)
-            latents, mask = pipe.build_inpainting_inputs(img, batch_args, key)
-            batch_args = batch_args.replace(strength=1.0)
+            if isinstance(pipe, ModelScopePipeline):
+                key = rng_lib.key_for_seed(resolved_seed + batch)
+                latents, mask, image_latents = pipe.build_inpainting_inputs(
+                    img, batch_args, key
+                )
+                batch_args = batch_args.replace(strength=1.0)
+            else:
+                # LVDM static mask blend (lvdm ddim.py:188-195)
+                vc_mask, vc_source = pipe.build_inpainting_inputs(img, batch_args)
 
         try:
             if isinstance(pipe, ModelScopePipeline):
@@ -206,22 +244,30 @@ def run(
                     batch_args,
                     latents=latents,
                     mask=mask,
+                    image_latents=image_latents,
                     skip_steps=skip_steps,
                     is_vid2vid=is_vid2vid,
                     batch_index=batch,
                     callback=job_state.step_callback,
                     callback_interval=callback_interval,
                     deep_cache_interval=deep_cache_interval,
+                    inpaint_mode=inpaint_mode,
                 )
             else:
-                # VideoCrafter: txt2vid (+ optional depth adapter)
-                # (process_videocrafter.py:12-98, sample_text2video_adapter.py)
+                # VideoCrafter: txt2vid (+ optional depth adapter, mask
+                # inpaint, ddpm chain, uc_type CFG variants)
+                # (process_videocrafter.py:12-98, sample_text2video_adapter.py,
+                # lvdm ddim.py:188-241, sample_utils.py:56-87)
                 res = pipe.infer(
                     batch_args,
                     batch_index=batch,
                     callback=job_state.step_callback,
                     callback_interval=callback_interval,
                     features_adapter=features_adapter,
+                    sample_type=vc_sample_type,
+                    mask=vc_mask,
+                    source_latents=vc_source,
+                    uc_type=vc_uc_type,
                 )
         except SkippedException:
             continue
@@ -250,13 +296,15 @@ def _emit_batch(
 
     def _img_path(i: int) -> str:
         # image_path template (args.py:268, e.g. ".../%09d.png"); relative
-        # templates resolve inside the batch dir. Only a real %d spec is a
-        # template — a literal '%' in a directory name must not be
-        # %-formatted
+        # templates resolve inside the batch dir. Substitute ONLY the first
+        # %d spec — templates with stray '%' or extra conversions (e.g.
+        # 'f_%03d_%s.png', '50%_%d.png') must not blow up at emit time,
+        # after the expensive sampling already ran
         tpl = out_args.image_path
         if tpl:
-            if re.search(r"%\d*d", tpl):
-                p = tpl % i
+            spec = re.search(r"%0?\d*d", tpl)
+            if spec:
+                p = tpl[: spec.start()] + (spec.group() % i) + tpl[spec.end():]
             else:
                 p = os.path.join(tpl, f"{i:09d}.png")
             return p if os.path.isabs(p) else os.path.join(batch_dir, p)
@@ -312,6 +360,11 @@ def _emit_batch(
         mp4_path = os.path.join(batch_dir, "vid.mp4")
     if not out_args.skip_video_creation:
         os.makedirs(os.path.dirname(mp4_path), exist_ok=True)
+        # "Init Video" soundtrack mode muxes the vid2vid source's audio
+        # track (process_modelscope.py:253-254); "File" uses soundtrack_path
+        audio_path = out_args.soundtrack_path or None
+        if out_args.add_soundtrack == "Init Video":
+            audio_path = args.vid2vid_input or None
         ffmpeg_stitch_video(
             frames=frames,
             out_path=mp4_path,
@@ -320,7 +373,7 @@ def _emit_batch(
             preset=out_args.ffmpeg_preset,
             metadata_comment=infotext,
             add_soundtrack=out_args.add_soundtrack,
-            audio_path=out_args.soundtrack_path or None,
+            audio_path=audio_path,
             ffmpeg_location=out_args.ffmpeg_location,
         )
         result.videos.append(mp4_path)

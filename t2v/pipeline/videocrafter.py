@@ -492,6 +492,31 @@ class VideoCrafterPipeline:
         print(f"t2v videocrafter timings: sample={t_sample:.2f}s")
         return InferResult(frames=list(frames), latents=x0, infotext=infotext)
 
+    def build_inpainting_inputs(self, image_rgb, args: T2VArgs):
+        """img2vid inputs for the LVDM static mask blend
+        (lvdm ddim.py:188-195): returns (mask, source_latents).
+
+        Reuses the ModelScope keyframe-weight DSL (process_modelscope.py:
+        170-219) but with LVDM polarity — there mask=1 KEEPS the source, so
+        the per-frame keep-weight is 1 - w (w: how much is generated)."""
+        import numpy as np
+
+        from t2v.pipeline.keyframes import KeyFrameSeries
+
+        ss = _spatial_scale(self.vae_cfg)
+        lat_h, lat_w = args.height // ss, args.width // ss
+        keys = KeyFrameSeries(args.frames, args.seed, max(args.inpainting_frames, 1))
+        weights = keys.inpainting_weights(args.inpainting_weights)
+
+        img = np.asarray(image_rgb, np.float32) / 255.0 * 2.0 - 1.0
+        frames = np.repeat(img[None], args.frames, axis=0)
+        source_latents = jnp.asarray(self.compute_latents(frames))
+
+        mask = np.zeros((1, args.frames, lat_h, lat_w, self.cfg.in_channels), np.float32)
+        for i in range(args.frames):
+            mask[:, i] = 1.0 - float(weights[i])
+        return jnp.asarray(mask), source_latents
+
     def create_infotext(self, args: T2VArgs, seed: int) -> str:
         return (
             f"{args.prompt}\nNegative prompt: {args.n_prompt}\n"
@@ -534,3 +559,27 @@ class VideoCrafterPipeline:
 
 def _cast(tree, dtype):
     return jax.tree.map(lambda x: jnp.asarray(x, dtype), tree)
+
+
+_VC_PIPELINE_CACHE: dict[tuple, "VideoCrafterPipeline"] = {}
+
+
+def load_vc_pipeline(
+    model_dir: str, policy: Policy = Policy.bf16(), keep_in_vram: bool = True
+) -> "VideoCrafterPipeline":
+    """Cached VideoCrafter loader with the same hot-switch semantics as
+    ``pipeline.load_pipeline``. The reference reloads the model.ckpt on every
+    job (process_videocrafter.py:33-44) because eager torch has nothing to
+    amortise; here a reload would also drop the pipeline's jitted-sampler
+    cache, so repeat API/CLI requests reuse the loaded pipeline."""
+    from t2v.core.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    key = (os.path.abspath(model_dir), policy.param_dtype)
+    if key in _VC_PIPELINE_CACHE:
+        return _VC_PIPELINE_CACHE[key]
+    _VC_PIPELINE_CACHE.clear()
+    pipe = VideoCrafterPipeline.from_model_dir(model_dir, policy=policy)
+    if keep_in_vram:
+        _VC_PIPELINE_CACHE[key] = pipe
+    return pipe

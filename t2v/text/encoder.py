@@ -171,6 +171,11 @@ class TextEncoder:
 
     # ------------------------------------------------------------------
 
+    def invalidate_cache(self) -> None:
+        """Drop memoised line encodings — required after anything mutates
+        ``self.params`` in place (e.g. a LoRA merge into the CLIP tower)."""
+        self._cache.clear()
+
     def _encode_chunk_batch(self, tokens: np.ndarray, multipliers: np.ndarray, fixes) -> jax.Array:
         """One 77-token chunk through the tower + weight renorm
         (process_tokens, clip_hardcode.py:397-422) — one device program."""

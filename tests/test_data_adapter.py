@@ -55,6 +55,52 @@ class TestWebVid:
         ds = WebVidDataset(root, video_length=8, resolution=(32, 32))
         assert ds[0] is None
 
+    def test_fps_metadata_and_cap(self, tmp_path):
+        """fps_clip = writer_fps // stride, capped by fps_max
+        (reference webvid.py:176-179)."""
+        root = _make_fake_webvid(str(tmp_path), frames=12)
+        ds = WebVidDataset(root, video_length=4, resolution=(32, 32), frame_stride=2)
+        s = ds[0]
+        assert s.fps == 4.0  # 8 fps fixture // stride 2
+        ds = WebVidDataset(
+            root, video_length=4, resolution=(32, 32), frame_stride=1, fps_max=5
+        )
+        assert ds[0].fps == 5.0
+
+    def test_stride_list_with_probs(self, tmp_path):
+        root = _make_fake_webvid(str(tmp_path), frames=12)
+        ds = WebVidDataset(
+            root, video_length=4, resolution=(32, 32),
+            frame_stride=[1, 2], fs_probs=[0.0, 1.0], seed=3,
+        )
+        s = ds[0]
+        assert s.frame_stride == 2
+
+    def test_stride_recalc_when_too_short_for_stride(self, tmp_path):
+        # 12 frames can't honour stride 8 x length 4 -> stride drops to 3
+        root = _make_fake_webvid(str(tmp_path), frames=12)
+        ds = WebVidDataset(root, video_length=4, resolution=(32, 32), frame_stride=8)
+        s = ds[0]
+        assert s is not None and s.frame_stride == 3
+
+    def test_fps_schedule_stages(self, tmp_path):
+        root = _make_fake_webvid(str(tmp_path), frames=12)
+        ds = WebVidDataset(
+            root, video_length=4, resolution=(32, 32),
+            frame_stride=[1, 2], fps_schedule=[2], bs_per_device=1,
+        )
+        strides = [ds[i % 3].frame_stride for i in range(5)]
+        assert strides[0] == 1 and strides[-1] == 2  # stage flips after step 2
+
+    def test_trigger_word_and_fps_batches(self, tmp_path):
+        root = _make_fake_webvid(str(tmp_path))
+        ds = WebVidDataset(
+            root, video_length=4, resolution=(32, 32), trigger_word=" sks"
+        )
+        assert ds[0].caption.endswith(" sks")
+        frames, caps, fps = next(ds.batches(2, epochs=1, with_fps=True))
+        assert fps.shape == (2,) and fps.dtype == np.float32
+
 
 class TestAdapter:
     def test_pixel_unshuffle_matches_torch(self, rng):

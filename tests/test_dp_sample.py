@@ -95,6 +95,31 @@ class TestRunDP:
         assert len(res_serial.infotexts) == 4
         assert res.infotexts == res_serial.infotexts
 
+    def test_run_dp_with_eta(self, tmp_path):
+        """eta > 0 must route through the DP path (the reference's DDP had
+        no eta restriction); per-sample eta noise differs across the batch
+        so samples must not collapse to identical outputs."""
+        import jax
+
+        from t2v.core.config import T2VArgs, T2VOutputArgs
+        from t2v.pipeline.pipeline import ModelScopePipeline
+        from t2v.pipeline.run import run
+
+        pipe = ModelScopePipeline.random_init()
+        pipe.unet_params = jax.tree.map(
+            lambda a: a + 0.01 if a.size and not np.asarray(a).any() else a,
+            pipe.unet_params,
+        )
+        args = T2VArgs(
+            prompt="a dog", n_prompt="bad", steps=3, frames=2,
+            width=32, height=32, seed=5, batch_count=2, eta=0.7,
+        )
+        res = run(
+            args, T2VOutputArgs(skip_video_creation=True), pipe=pipe,
+            outdir=str(tmp_path), save_frames=False, dp_shards=2,
+        )
+        assert len(res.infotexts) == 2
+
 
 class TestMultihost:
     def test_single_process_semantics(self):

@@ -101,6 +101,36 @@ class TestLoraTree:
         for a, b in zip(jax.tree.leaves(merged_file), jax.tree.leaves(merged_fn)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    def test_lvdm_format_save_roundtrip(self, tiny_unet, tmp_path):
+        """save_lvdm_lora writes cloneofsimo lora_up/lora_down keys that
+        merge_lvdm_lora (and the reference's net_load_lora, lvdm
+        lora.py:620-672) consume back to identical weights."""
+        from t2v.pipeline.lora import merge_lvdm_lora, save_lvdm_lora
+
+        cfg, _, params = tiny_unet
+        idx = unet_module_index(cfg)
+        key = jax.random.key(5)
+        lora = init_lora(params, idx, rank=2, key=key)
+        lora = {
+            n: {
+                "lora_A": jax.random.normal(jax.random.fold_in(key, 2 * i), ab["lora_A"].shape) * 0.1,
+                "lora_B": jax.random.normal(jax.random.fold_in(key, 2 * i + 1), ab["lora_B"].shape) * 0.1,
+            }
+            for i, (n, ab) in enumerate(lora.items())
+        }
+        path = str(tmp_path / "extracted.safetensors")
+        save_lvdm_lora(path, jax.device_get(lora), metadata={"rank": 2})
+
+        from safetensors.numpy import load_file
+
+        sd = load_file(path)
+        assert any(k.endswith(".lora_up.weight") for k in sd)
+        merged_file, skipped = merge_lvdm_lora(params, sd, idx, scale=1.0)
+        merged_fn = apply_lora(params, lora, idx, alpha=1.0)
+        assert not skipped
+        for a, b in zip(jax.tree.leaves(merged_file), jax.tree.leaves(merged_fn)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
     def test_discover(self, tiny_unet, tmp_path):
         cfg, _, params = tiny_unet
         idx = unet_module_index(cfg)

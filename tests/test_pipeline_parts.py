@@ -119,6 +119,34 @@ class TestLoRAMerge:
                 node = node[seg]
             assert "kernel" in node, f"{name} -> {fpath} has no kernel"
 
+    def test_stable_lora_reaches_text_encoder(self, rng):
+        """The reference merges every stable-lora into the CLIP transformer
+        too (lora_webui.py:186-187); keys are relative to the transformer
+        submodule. A CLIP-targeting LoRA must change embeddings, and the
+        undo must restore them."""
+        from t2v.pipeline.pipeline import ModelScopePipeline
+
+        pipe = ModelScopePipeline.random_init()
+        enc = pipe.text_encoder
+        z0 = enc.encode_line("a cat in a forest").copy()
+
+        width = pipe.clip_cfg.width
+        r = 3
+        lora_sd = {
+            "resblocks.0.mlp.c_fc.lora_A": rng.normal(size=(r, width)).astype(np.float32),
+            "resblocks.0.mlp.c_fc.lora_B": rng.normal(size=(4 * width, r)).astype(np.float32) * 0.1,
+        }
+        skipped = pipe.apply_stable_lora(lora_sd, alpha=0.5)
+        assert "resblocks.0.mlp.c_fc" not in skipped["clip"]
+        # the same key is (correctly) not a UNet module
+        assert "resblocks.0.mlp.c_fc" in skipped["unet"]
+        z1 = enc.encode_line("a cat in a forest")
+        assert np.abs(z1 - z0).max() > 1e-3, "CLIP LoRA did not affect embeddings"
+
+        pipe.apply_stable_lora(lora_sd, alpha=0.5, undo=True)
+        z2 = enc.encode_line("a cat in a forest")
+        np.testing.assert_allclose(z2, z0, rtol=1e-4, atol=1e-5)
+
 
 class TestSafetensorsIO:
     def test_roundtrip_with_metadata(self, tmp_path, rng):

@@ -1,0 +1,140 @@
+"""Real-checkpoint-layout converter parity (VERDICT round-1 item 1).
+
+Unlike the synthetic state_dicts elsewhere in the suite (shaped by our own
+converters — circular), these checkpoints are produced by the REFERENCE's
+torch classes + ``torch.save`` via tools/parity/gen_checkpoints.py: real key
+names, real tensor layouts, the real zip-pickle container, the real
+``{'state_dict': {'first_stage_model.*'}}`` VAE nesting. The test then runs
+the production load path (restricted unpickler → convert_* →
+``ModelScopePipeline.from_model_dir``) and checks activations against the
+torch modules.
+
+The full-scale (1.4B, 256×256×16f, 20-step) run of the same harness is
+recorded in PARITY.md; this is the CI-sized guard against converter/reader
+regressions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytest.importorskip("torch")
+if not os.path.isdir("/root/reference"):  # harness needs the reference tree
+    pytest.skip("reference tree not available", allow_module_level=True)
+
+TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools", "parity")
+sys.path.insert(0, TOOLS)
+
+FRAMES, SIZE, LAT_SCALE = 3, 64, 2
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("real_ckpt")
+    subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "gen_checkpoints.py"),
+         "--out", str(out), "--small"],
+        check=True, capture_output=True, text=True,
+    )
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def pipe(model_dir):
+    from t2v.core.config import CLIPTextConfig, VAEConfig
+    from t2v.core.dtypes import Policy
+    from t2v.pipeline.pipeline import ModelScopePipeline
+
+    clip_cfg = dataclasses.replace(
+        CLIPTextConfig.vit_h_14(), width=1024, layers=2, heads=2
+    )
+    return ModelScopePipeline.from_model_dir(
+        model_dir, Policy.fp32(), vae_cfg=VAEConfig().tiny(), clip_cfg=clip_cfg
+    )
+
+
+def test_unet_forward_parity(model_dir, pipe):
+    import jax.numpy as jnp
+    import torch
+
+    import torch_golden
+
+    unet_t, _cfg = torch_golden.load_unet(model_dir)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, FRAMES, 16, 16, 4)).astype(np.float32)
+    ctx = rng.standard_normal((1, 77, 1024)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        y_t = unet_t(
+            torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3))),
+            torch.tensor([500.0]),
+            torch.from_numpy(ctx),
+        ).numpy()
+    y_j = np.asarray(
+        pipe.unet.apply(
+            pipe.unet_params, jnp.asarray(x), jnp.full((1,), 500.0), jnp.asarray(ctx)
+        )
+    )
+    diff = np.abs(y_j - np.transpose(y_t, (0, 2, 3, 4, 1))).max()
+    assert diff < 5e-4, f"UNet forward diverges on real-layout ckpt: {diff}"
+
+
+def test_text_tower_parity(model_dir, pipe):
+    import torch
+
+    import gen_checkpoints as gen
+
+    clip_t = gen.OpenClipTextModel(width=1024, layers=2, heads=2)
+    sd = torch.load(
+        os.path.join(model_dir, "open_clip_pytorch_model.bin"),
+        map_location="cpu", weights_only=True,
+    )
+    clip_t.load_state_dict(
+        {k: v for k, v in sd.items() if not k.startswith("visual.")}, strict=True
+    )
+    clip_t.eval()
+
+    tok = pipe.text_encoder.tokenizer
+    ids = [tok.bos_id] + tok.encode("a photo of a cat") + [tok.eos_id]
+    tokens = np.zeros((1, 77), np.int64)
+    tokens[0, : len(ids)] = ids
+    with torch.no_grad():
+        z_t = clip_t.encode(torch.from_numpy(tokens), penultimate=True).numpy()
+    import jax.numpy as jnp
+
+    z_j = np.asarray(
+        pipe.text_encoder.model.apply(
+            pipe.text_encoder.params, jnp.asarray(tokens, jnp.int32)
+        )
+    )
+    assert np.abs(z_j - z_t).max() < 5e-4
+
+
+def test_vae_decode_parity(model_dir, pipe):
+    import jax.numpy as jnp
+    import torch
+
+    import gen_checkpoints as gen
+    from modelscope.t2v_model import AutoencoderKL as TorchVAE
+
+    vae_t = TorchVAE(
+        gen.SMALL_DDCONFIG, 4, os.path.join(model_dir, "VQGAN_autoencoder.pth")
+    ).eval()
+    rng = np.random.default_rng(1)
+    z = rng.standard_normal((2, 32, 32, 4)).astype(np.float32)
+    with torch.no_grad():
+        img_t = vae_t.decode(
+            torch.from_numpy(np.transpose(z, (0, 3, 1, 2)))
+        ).numpy()
+    from t2v.models.vae import AutoencoderKL
+
+    img_j = np.asarray(
+        pipe.vae.apply(pipe.vae_params, jnp.asarray(z), method=AutoencoderKL.decode)
+    )
+    diff = np.abs(img_j - np.transpose(img_t, (0, 2, 3, 1))).max()
+    assert diff < 5e-4, f"VAE decode diverges on real-layout ckpt: {diff}"

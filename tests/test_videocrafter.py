@@ -188,6 +188,54 @@ class TestVCEndToEnd:
         assert res.frames[0].shape == (64, 64, 3)
         assert "VideoCrafter" in res.infotext
 
+    def test_run_exposes_lvdm_extras(self, tmp_path):
+        """uc_type, sample_type=ddpm and mask inpainting must be reachable
+        through the public run() orchestrator (round-1 review: they were
+        library-only surface on VideoCrafterPipeline.infer)."""
+        import cv2
+
+        from t2v.core.config import T2VOutputArgs
+        from t2v.pipeline.run import run
+
+        pipe = VideoCrafterPipeline.random_init()
+        pipe.unet_params = jax.tree.map(
+            lambda a: a + 0.01 if a.size and not np.asarray(a).any() else a,
+            pipe.unet_params,
+        )
+        img_path = str(tmp_path / "src.png")
+        cv2.imwrite(
+            img_path,
+            np.random.default_rng(0).integers(0, 255, (64, 64, 3), np.uint8),
+        )
+        out = T2VOutputArgs(fps=4, skip_video_creation=True)
+        base_args = T2VArgs(
+            model_type="VideoCrafter", prompt="x", steps=3, frames=3,
+            width=64, height=64, seed=4,
+        )
+
+        def frames_of(args, sub, **kw):
+            r = run(args, out, pipe=pipe, outdir=str(tmp_path / sub),
+                    callback_interval=None, **kw)
+            assert r.frame_dirs, "run produced no output"
+            import os
+
+            d = r.frame_dirs[0]
+            pngs = sorted(f for f in os.listdir(d) if f.endswith(".png"))
+            return np.stack([cv2.imread(os.path.join(d, f)) for f in pngs])
+
+        plain = frames_of(base_args, "plain")
+        uc = frames_of(base_args, "uc", vc_uc_type="cfg_original")
+        assert not np.array_equal(plain, uc), "--uc-type is inert through run()"
+
+        ddpm = frames_of(base_args, "ddpm", vc_sample_type="ddpm")
+        assert ddpm.shape == plain.shape
+
+        inpaint_args = base_args.replace(
+            inpainting_image=img_path, inpainting_frames=2
+        )
+        masked = frames_of(inpaint_args, "mask")
+        assert not np.array_equal(plain, masked), "LVDM mask inpaint is inert"
+
     def test_zero_init_temporal_attention_is_identity(self, rng):
         """The temporal attentions are zero-init — a fresh model must behave
         per-frame identically (image-pretrained identity on time axis)."""
@@ -346,3 +394,57 @@ class TestVCLoraLoad:
         assert not np.allclose(before, after)
         expected = before + 0.5 * (sd[f"{name}.lora_up.weight"] @ sd[f"{name}.lora_down.weight"]).T
         np.testing.assert_allclose(after, expected, atol=1e-5)
+
+
+class TestDiagonalGaussian:
+    """sample/kl/nll/mode vs the reference formulas
+    (lvdm distributions.py:5-46)."""
+
+    def _pair(self, rng):
+        mean = rng.normal(size=(2, 4, 4, 3)).astype(np.float32)
+        logvar = rng.normal(size=(2, 4, 4, 3)).astype(np.float32)
+        return jnp.asarray(mean), jnp.asarray(logvar)
+
+    def test_kl_standard_and_pairwise(self, rng):
+        from t2v.models.vae import DiagonalGaussian
+
+        m, lv = self._pair(rng)
+        d = DiagonalGaussian(m, lv)
+        want = 0.5 * np.sum(
+            np.square(np.asarray(m)) + np.exp(np.asarray(lv)) - 1.0 - np.asarray(lv),
+            axis=(1, 2, 3),
+        )
+        np.testing.assert_allclose(np.asarray(d.kl()), want, rtol=1e-5)
+
+        m2, lv2 = self._pair(np.random.default_rng(7))
+        other = DiagonalGaussian(m2, lv2)
+        v, v2 = np.exp(np.asarray(lv)), np.exp(np.asarray(lv2))
+        want2 = 0.5 * np.sum(
+            np.square(np.asarray(m) - np.asarray(m2)) / v2
+            + v / v2 - 1.0 - np.asarray(lv) + np.asarray(lv2),
+            axis=(1, 2, 3),
+        )
+        np.testing.assert_allclose(np.asarray(d.kl(other)), want2, rtol=1e-5)
+
+    def test_nll_and_sample(self, rng):
+        from t2v.models.vae import DiagonalGaussian
+
+        m, lv = self._pair(rng)
+        d = DiagonalGaussian(m, lv)
+        x = jnp.asarray(rng.normal(size=m.shape).astype(np.float32))
+        want = 0.5 * np.sum(
+            np.log(2 * np.pi) + np.asarray(lv)
+            + np.square(np.asarray(x) - np.asarray(m)) / np.exp(np.asarray(lv)),
+            axis=(1, 2, 3),
+        )
+        np.testing.assert_allclose(np.asarray(d.nll(x)), want, rtol=1e-5)
+
+        noise = jnp.ones_like(m)
+        np.testing.assert_allclose(
+            np.asarray(d.sample(noise=noise)),
+            np.asarray(m) + np.exp(0.5 * np.asarray(lv)),
+            rtol=1e-5,
+        )
+        det = DiagonalGaussian(m, lv, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(det.sample(noise=noise)), np.asarray(m))
+        assert np.all(np.asarray(det.kl()) == 0)
