@@ -14,19 +14,23 @@ Additional endpoints (new surface, additive only):
   * ``POST /t2v/interrupt`` / ``POST /t2v/skip`` — cooperative cancel,
     the API-shaped equivalent of the reference UI's buttons;
   * ``GET /t2v/progress`` — sampling progress (A1111 progress API role).
+
+This module is a thin FastAPI *transport*: every request body/semantics
+lives in ``t2v.api.handlers``, shared verbatim with the stdlib server so
+the two cannot drift.
 """
 
 from __future__ import annotations
 
 import logging
 import os
-import traceback
-import uuid
 from typing import Optional, Union
+
+from t2v.api.handlers import API_VERSION  # re-export (stdlib server imports it)
 
 logger = logging.getLogger("t2v.api")
 
-API_VERSION = "1.0"
+__all__ = ["API_VERSION", "create_app"]
 
 
 def create_app(pipe=None, models_root: Optional[str] = None):
@@ -39,14 +43,15 @@ def create_app(pipe=None, models_root: Optional[str] = None):
     from fastapi.responses import JSONResponse
 
     import t2v
-    from t2v.core.config import T2VArgs, T2VOutputArgs, sanity_check_args
-    from t2v.core.state import state
-    from t2v.pipeline.run import run
+    from t2v.api import handlers
 
     if models_root:
         os.environ["T2V_MODELS_ROOT"] = models_root
 
     app = FastAPI(title="t2v", version=t2v.__version__)
+
+    def _send(resp: handlers.ApiResponse) -> JSONResponse:
+        return JSONResponse(status_code=resp.status, content=resp.payload)
 
     @app.exception_handler(RequestValidationError)
     async def validation_exception_handler(request: Request, exc: RequestValidationError):
@@ -65,48 +70,28 @@ def create_app(pipe=None, models_root: Optional[str] = None):
 
     @app.get("/t2v/api_version")
     async def t2v_api_version():
-        return JSONResponse(content={"version": API_VERSION})
+        return JSONResponse(content=handlers.api_version_payload())
 
     @app.get("/t2v/version")
     async def t2v_version():
-        return JSONResponse(content={"version": t2v.__version__})
+        return JSONResponse(content=handlers.version_payload())
 
     @app.get("/t2v/progress")
     async def t2v_progress():
-        return JSONResponse(
-            content={
-                "job": state.job,
-                "job_no": state.job_no,
-                "job_count": state.job_count,
-                "sampling_step": state.sampling_step,
-                "sampling_steps": state.sampling_steps,
-                "interrupted": state.interrupted,
-            }
-        )
+        return JSONResponse(content=handlers.progress_payload())
 
     @app.post("/t2v/interrupt")
     async def t2v_interrupt():
-        state.interrupt()
-        return JSONResponse(content={"interrupted": True})
+        return _send(handlers.interrupt_response())
 
     @app.post("/t2v/skip")
     async def t2v_skip():
-        state.skip()
-        return JSONResponse(content={"skipped": True})
+        return _send(handlers.skip_response())
 
     @app.post("/t2v/metadata")
     async def t2v_metadata(file: UploadFile):
-        """MP4 ©cmt metadata viewer (reference UI accordion,
-        args.py:160-175): returns the infotext comment atom."""
-        import tempfile
-
-        from t2v.media.video import read_mp4_metadata_comment
-
-        with tempfile.NamedTemporaryFile(suffix=".mp4") as tmp:
-            tmp.write(await file.read())
-            tmp.flush()
-            comment = read_mp4_metadata_comment(tmp.name)
-        return JSONResponse(content={"comment": comment})
+        blob = await file.read(handlers.MAX_UPLOAD_BYTES + 1)
+        return _send(handlers.metadata_response(blob))
 
     @app.post("/t2v/run")
     async def t2v_run(
@@ -133,74 +118,45 @@ def create_app(pipe=None, models_root: Optional[str] = None):
         fps: Union[int, None] = None,
         add_soundtrack: Union[str, None] = None,
         soundtrack_path: Union[str, None] = None,
+        comma_padding_backtrack: Union[int, None] = None,
+        enable_emphasis: Union[bool, None] = None,
+        inpaint_mode: Union[str, None] = None,
+        vc_sample_type: Union[str, None] = None,
+        uc_type: Union[str, None] = None,
     ):
-        # defaults + non-None overrides (api_t2v.py:82-90)
-        overrides = {
-            k: v
-            for k, v in dict(
-                prompt=prompt, n_prompt=n_prompt, model=model,
-                model_type=model_type, sampler=sampler,
-                steps=steps, frames=frames, seed=seed, cfg_scale=cfg_scale,
-                width=width, height=height, eta=eta, batch_count=batch_count,
-                do_vid2vid=do_vid2vid, strength=strength,
-                vid2vid_startFrame=vid2vid_startFrame,
-                inpainting_frames=inpainting_frames,
-                inpainting_weights=inpainting_weights,
-            ).items()
-            if v is not None
-        }
-        args = T2VArgs(**overrides)
-        out_overrides = {
-            k: v
-            for k, v in dict(
-                fps=fps, add_soundtrack=add_soundtrack, soundtrack_path=soundtrack_path
-            ).items()
-            if v is not None
-        }
-        out_args = T2VOutputArgs(**out_overrides)
-
-        tmp_dir = os.path.join("outputs", "t2v_temp")
-        os.makedirs(tmp_dir, exist_ok=True)
-        tmp_files: list[str] = []
-        try:
-            sanity_check_args(args)
-
-            if args.inpainting_frames > 0 and inpainting_image is not None:
-                p = os.path.join(tmp_dir, f"{uuid.uuid4()}.png")
-                with open(p, "wb") as f:
-                    f.write(await inpainting_image.read())
-                tmp_files.append(p)
-                args = args.replace(inpainting_image=p)
-
-            if do_vid2vid and vid2vid_input is not None:
-                p = os.path.join(tmp_dir, f"{uuid.uuid4()}.mp4")
-                with open(p, "wb") as f:
-                    f.write(await vid2vid_input.read())
-                tmp_files.append(p)
-                args = args.replace(vid2vid_input=p)
-
-            # off the event loop: generation takes minutes, and /t2v/progress
-            # + /t2v/interrupt must stay responsive while it runs
-            import anyio
-
-            result = await anyio.to_thread.run_sync(
-                lambda: run(args, out_args, pipe=pipe)
+        query = dict(
+            prompt=prompt, n_prompt=n_prompt, model=model,
+            model_type=model_type, sampler=sampler,
+            steps=steps, frames=frames, seed=seed, cfg_scale=cfg_scale,
+            width=width, height=height, eta=eta, batch_count=batch_count,
+            do_vid2vid=do_vid2vid, strength=strength,
+            vid2vid_startFrame=vid2vid_startFrame,
+            inpainting_frames=inpainting_frames,
+            inpainting_weights=inpainting_weights,
+            fps=fps, add_soundtrack=add_soundtrack,
+            soundtrack_path=soundtrack_path,
+            comma_padding_backtrack=comma_padding_backtrack,
+            enable_emphasis=enable_emphasis,
+            inpaint_mode=inpaint_mode,
+            vc_sample_type=vc_sample_type, uc_type=uc_type,
+        )
+        uploads: dict[str, bytes] = {}
+        if inpainting_image is not None:
+            uploads["inpainting_image"] = await inpainting_image.read(
+                handlers.MAX_UPLOAD_BYTES + 1
             )
-            return JSONResponse(content={"mp4s": result.data_urls})
-        except ValueError as e:
-            return JSONResponse(status_code=422, content={"detail": str(e)})
-        except Exception as e:
-            logger.error(f"Error processing the video: {e}")
-            traceback.print_exc()
-            return JSONResponse(
-                status_code=500,
-                content={"detail": "An error occurred while processing the video."},
+        if vid2vid_input is not None:
+            uploads["vid2vid_input"] = await vid2vid_input.read(
+                handlers.MAX_UPLOAD_BYTES + 1
             )
-        finally:
-            for p in tmp_files:
-                try:
-                    os.remove(p)
-                except OSError:
-                    pass
+
+        # off the event loop: generation takes minutes, and /t2v/progress
+        # + /t2v/interrupt must stay responsive while it runs
+        import anyio
+
+        resp = await anyio.to_thread.run_sync(
+            lambda: handlers.run_response(query, uploads, pipe=pipe)
+        )
+        return _send(resp)
 
     return app

@@ -21,6 +21,64 @@ def tiny_pipe():
     return ModelScopePipeline.random_init()
 
 
+class TestSharedHandlers:
+    """Both servers delegate to t2v.api.handlers; these pin the shared
+    semantics (status codes + payload shapes) at the handler boundary, so
+    the FastAPI transport — not importable in this image — and the stdlib
+    transport cannot drift (round-1 review: their 422s differed subtly)."""
+
+    def test_missing_prompt_is_fastapi_shaped_422(self):
+        from t2v.api import handlers
+
+        resp = handlers.run_response({}, {})
+        assert resp.status == 422
+        assert resp.payload["detail"][0]["loc"] == ["query", "prompt"]
+        assert resp.payload["detail"][0]["msg"] == "field required"
+
+    def test_bad_numeric_is_422_detail_string(self):
+        from t2v.api import handlers
+
+        resp = handlers.run_response({"prompt": "x", "steps": "abc"}, {})
+        assert resp.status == 422
+        assert isinstance(resp.payload["detail"], str)
+        assert "steps" in resp.payload["detail"]
+
+    def test_sanity_violation_is_422(self):
+        from t2v.api import handlers
+
+        resp = handlers.run_response({"prompt": "x", "steps": "0"}, {})
+        assert resp.status == 422
+
+    def test_model_omitted_requests_warm_pipe_reuse(self):
+        from t2v.api import handlers
+
+        args, _ = handlers.build_args({"prompt": "x"})
+        assert args.model is None  # run() resolves: warm pipe else default
+        args, _ = handlers.build_args({"prompt": "x", "model": "<modelscope>"})
+        assert args.model == "<modelscope>"
+
+    def test_upload_over_cap_is_413(self, monkeypatch):
+        from t2v.api import handlers
+
+        monkeypatch.setattr(handlers, "MAX_UPLOAD_BYTES", 16)
+        resp = handlers.run_response(
+            {"prompt": "x", "do_vid2vid": True},
+            {"vid2vid_input": b"0" * 17},
+        )
+        assert resp.status == 413
+        resp = handlers.metadata_response(b"0" * 17)
+        assert resp.status == 413
+
+    def test_typed_values_pass_coercion_unchanged(self):
+        from t2v.api import handlers
+
+        # the FastAPI transport hands over already-typed params
+        args, out = handlers.build_args(
+            {"prompt": "x", "steps": 7, "cfg_scale": 9.5, "fps": 30}
+        )
+        assert args.steps == 7 and args.cfg_scale == 9.5 and out.fps == 30
+
+
 class TestRunOrchestrator:
     def test_txt2vid_end_to_end(self, tiny_pipe, tmp_path):
         args = T2VArgs(
@@ -39,6 +97,51 @@ class TestRunOrchestrator:
             assert os.path.exists(os.path.join(d, "args.txt"))
             pngs = [f for f in os.listdir(d) if f.endswith(".png")]
             assert len(pngs) == 3
+
+    def test_progressive_inpaint_through_run(self, tmp_path):
+        """inpaint_mode='progressive' must actually change the output when
+        requested through the public run() path (round-1 review: the
+        parameter was silently inert — image_latents never reached
+        sample_loop), and the windowed (interrupt-capable) execution must
+        match the monolithic jit bit-for-bit."""
+        import cv2
+        import jax
+
+        pipe = ModelScopePipeline.random_init()
+        # random init zero-inits the head conv (checkpoint-parity gates);
+        # perturb so eps carries signal and the blend has an effect
+        pipe.unet_params = jax.tree.map(
+            lambda a: a + 0.01 if a.size and not np.asarray(a).any() else a,
+            pipe.unet_params,
+        )
+        img_path = str(tmp_path / "src.png")
+        rng = np.random.default_rng(0)
+        cv2.imwrite(img_path, rng.integers(0, 255, (64, 64, 3), np.uint8))
+
+        args = T2VArgs(
+            prompt="x", steps=4, frames=4, width=64, height=64, seed=3,
+            inpainting_image=img_path, inpainting_frames=3,
+        )
+        out = T2VOutputArgs(fps=4, skip_video_creation=True)
+
+        import os
+
+        def frames_of(inpaint_mode, callback_interval, sub):
+            r = run(
+                args, out, pipe=pipe, outdir=str(tmp_path / sub),
+                inpaint_mode=inpaint_mode, callback_interval=callback_interval,
+            )
+            d = r.frame_dirs[0]
+            pngs = sorted(f for f in os.listdir(d) if f.endswith(".png"))
+            return np.stack([cv2.imread(os.path.join(d, f)) for f in pngs])
+
+        base = frames_of("initial_only", None, "a")
+        prog = frames_of("progressive", None, "b")
+        assert not np.array_equal(base, prog), "progressive mode is inert"
+        prog_win = frames_of("progressive", 2, "c")
+        np.testing.assert_array_equal(
+            prog, prog_win, "windowed progressive diverges from monolithic"
+        )
 
     def test_gif_delete_imgs_and_path_templates(self, tiny_pipe, tmp_path):
         import os

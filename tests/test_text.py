@@ -111,6 +111,30 @@ class TestChunking:
         locations = [i for i, ch in enumerate(chunks) if dog_id in ch.tokens]
         assert locations, "dog token lost"
 
+    def test_golden_battery(self):
+        """96 recorded cases (prompt × backtrack × emphasis) covering comma
+        boundaries, BREAK runs, multi-chunk spills — the executable spec the
+        packer rewrite was verified against (A1111 clip_hardcode.py:146-239
+        semantics)."""
+        import json
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "data", "chunking_golden.json")
+        with open(path) as f:
+            cases = json.load(f)
+        assert len(cases) >= 90
+        for case in cases:
+            chunks, count = chunking.tokenize_line(
+                case["prompt"], TOK,
+                enable_emphasis=case["emphasis"],
+                comma_backtrack=case["backtrack"],
+            )
+            assert count == case["count"], case["prompt"]
+            assert len(chunks) == len(case["chunks"]), case["prompt"]
+            for got, want in zip(chunks, case["chunks"]):
+                assert got.tokens == want["tokens"], case["prompt"]
+                assert got.multipliers == want["multipliers"], case["prompt"]
+
     def test_pad_after_eos(self):
         tokens = np.array([[TOK.bos_id, 5, TOK.eos_id, TOK.eos_id, TOK.eos_id]])
         out = chunking.pad_after_eos(tokens, TOK.eos_id, 0)
