@@ -208,10 +208,32 @@ class VideoCrafterPipeline:
 
         unet = VideoCrafterUNet(cfg=cfg, policy=policy)
         unet_params = _cast(convert_vc_unet(parts["unet"], cfg), policy.param_dtype)
-        vae_cfg = VAEConfig()
+        # first_stage ddconfig rides in the yaml (model_config.yaml:49-68);
+        # defaults match the published checkpoints
+        dd = (
+            yaml_cfg.get("model", {}).get("params", {})
+            .get("first_stage_config", {}).get("params", {}).get("ddconfig", {})
+        )
+        vae_cfg = VAEConfig(
+            z_channels=dd.get("z_channels", 4),
+            in_channels=dd.get("in_channels", 3),
+            out_channels=dd.get("out_ch", 3),
+            ch=dd.get("ch", 128),
+            ch_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
+            num_res_blocks=dd.get("num_res_blocks", 2),
+            resolution=dd.get("resolution", 256),
+            scale_factor=yaml_cfg.get("model", {}).get("params", {}).get(
+                "scale_factor", 0.18215
+            ),
+        )
         vae = AutoencoderKL(cfg=vae_cfg, policy=policy)
         vae_params = _cast(convert_vae(parts["vae"], vae_cfg), policy.param_dtype)
-        clip_cfg = CLIPTextConfig.clip_l_14()
+        n_clip_layers = 1 + max(
+            int(k.split("encoder.layers.")[1].split(".")[0])
+            for k in parts["clip"]
+            if "encoder.layers." in k
+        )
+        clip_cfg = dataclasses.replace(CLIPTextConfig.clip_l_14(), layers=n_clip_layers)
         clip = CLIPTextTransformer(cfg=clip_cfg, policy=policy)
         clip_params = _cast(
             convert_hf_clip_text(

@@ -115,6 +115,31 @@ def test_text_tower_parity(model_dir, pipe):
     assert np.abs(z_j - z_t).max() < 5e-4
 
 
+def test_videocrafter_real_layout_parity(tmp_path_factory):
+    """VideoCrafter family: a Lightning model.ckpt assembled from the
+    reference's lvdm torch classes (model.diffusion_model / first_stage /
+    cond_stage prefixes + DDPM buffers) through the production
+    from_model_dir path; checks CLIP / UNet fwd / 5-step lvdm-DDIM /
+    decode against the torch goldens."""
+    import json
+
+    out = str(tmp_path_factory.mktemp("vc_ckpt"))
+    subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "vc_golden.py"),
+         "--out-dir", out, "--small"],
+        check=True, capture_output=True, text=True,
+    )
+    report_path = os.path.join(out, "report.json")
+    subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "jax_parity_vc.py"),
+         "--dir", out, "--out", report_path, "--cpu"],
+        check=True, capture_output=True, text=True,
+    )
+    with open(report_path) as f:
+        report = json.load(f)
+    assert report["pass"], report
+
+
 def test_vae_decode_parity(model_dir, pipe):
     import jax.numpy as jnp
     import torch
