@@ -66,21 +66,25 @@ def main() -> None:
         flush=True,
     )
 
-    # --- 5-step DDIM loop (reference lvdm sampler vs our ddim module) ----
+    # --- 5-step DDIM loop (reference lvdm sampler vs our ddim module).
+    # params ride as a REAL jit argument — captured as constants the 1B
+    # fp32 tree ships 4GB through the compile transport.
     from t2v.diffusion.sampling import sample_loop
 
     uncond = jnp.asarray(gold["text"][1:2])
 
-    def apply_fn(xx, tt, cc):
-        return pipe.unet.apply(pipe.unet_params, xx, tt, cc)
+    @jax.jit
+    def ddim5(params, nz, cond, uncond):
+        def apply_fn(xx, tt, cc):
+            return pipe.unet.apply(params, xx, tt, cc)
 
-    x0 = jax.jit(
-        lambda nz: sample_loop(
-            apply_fn, pipe.schedule, steps=5, shape=x.shape, cond=ctx,
+        return sample_loop(
+            apply_fn, pipe.schedule, steps=5, shape=nz.shape, cond=cond,
             uncond=uncond, guidance_scale=9.0, eta=0.0, sampler_name="DDIM",
             noise=nz, key=jax.random.key(0),
         )
-    )(x)
+
+    x0 = ddim5(pipe.unet_params, x, ctx, uncond)
     x0 = np.asarray(x0)
     x0_ref = np.transpose(gold["x0"], (0, 2, 3, 4, 1))
     report["ddim5_max_abs_diff"] = float(np.max(np.abs(x0 - x0_ref)))
