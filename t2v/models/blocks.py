@@ -33,6 +33,7 @@ import numpy as np
 from t2v.core.dtypes import Policy
 from t2v.kernels.attention import attention as _attention
 from t2v.kernels.attention import attention_mh as _attention_mh
+from t2v.kernels.attention import self_attention_packed as _self_attention_packed
 
 
 def sinusoidal_embedding(t: jax.Array, dim: int) -> jax.Array:
@@ -210,9 +211,16 @@ class CrossAttention(nn.Module):
 
         b, n, _ = q.shape
         s = k.shape[1]
-        unfold = lambda t, length: t.reshape(b, length, self.heads, self.dim_head)
-        out = _attention_mh(unfold(q, n), unfold(k, s), unfold(v, s))
-        out = out.reshape(b, n, inner)
+        if context is None:
+            # self-attention: keep heads packed in the minor dim — the
+            # fused kernel path avoids the multihead fold transposes
+            out = _self_attention_packed(q, k, v, self.heads)
+        else:
+            unfold = lambda t, length: t.reshape(
+                b, length, self.heads, self.dim_head
+            )
+            out = _attention_mh(unfold(q, n), unfold(k, s), unfold(v, s))
+            out = out.reshape(b, n, inner)
         return dense(self.query_dim, "to_out")(out)
 
 
