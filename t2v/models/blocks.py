@@ -34,6 +34,7 @@ from t2v.core.dtypes import Policy
 from t2v.kernels.attention import attention as _attention
 from t2v.kernels.attention import attention_mh as _attention_mh
 from t2v.kernels.attention import self_attention_packed as _self_attention_packed
+from t2v.kernels.group_norm import group_norm as _group_norm
 
 
 def sinusoidal_embedding(t: jax.Array, dim: int) -> jax.Array:
@@ -71,7 +72,7 @@ class _GNScaleBias(nn.Module):
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm(32) with float32 statistics.
+    """GroupNorm(32) with float32 statistics, fused on TPU.
 
     Also accepts an ``(a, b)`` tuple, treated as the virtual channel concat
     ``[a; b]`` WITHOUT materialising it: group statistics are computed
@@ -79,64 +80,33 @@ class GroupNorm32(nn.Module):
     place (returning a tuple). Groups that straddle the concat boundary
     are handled exactly. This lets the UNet decoder avoid the HBM
     round-trip of the skip-connection concat (t2v_model.py:316-318 does
-    ``th.cat`` + GroupNorm; here the cat never hits memory)."""
+    ``th.cat`` + GroupNorm; here the cat never hits memory).
+
+    ``fuse_silu=True`` folds the SiLU that follows most UNet norms into the
+    normalise pass. The implementation (t2v/kernels/group_norm.py) is a
+    deliberately XLA-side formulation: per-channel partial sums that XLA
+    fuses into the producer of ``x`` (a hand-written Pallas kernel measured
+    slower end-to-end by being a fusion barrier — see the module docstring).
+    """
 
     eps: float = 1e-5
     num_groups: int = 32
+    fuse_silu: bool = False
     policy: Policy = Policy()
 
     @nn.compact
     def __call__(self, x):
-        if isinstance(x, tuple):
-            return self._pair(*x)
-        dtype = x.dtype
-        out = nn.GroupNorm(
-            num_groups=self.num_groups,
-            epsilon=self.eps,
-            dtype=jnp.float32,
-            param_dtype=self.policy.param_dtype,
-        )(x.astype(jnp.float32))
-        return out.astype(dtype)
-
-    def _pair(self, a, b):
-        ca, cb = a.shape[-1], b.shape[-1]
-        c = ca + cb
-        g = c // self.num_groups
-        # same child name ("GroupNorm_0") and param names as the single path
+        pair = isinstance(x, tuple)
+        a, b = x if pair else (x, None)
+        c = a.shape[-1] + (b.shape[-1] if pair else 0)
+        # child/param names match nn.GroupNorm's, for checkpoint parity
         scale, bias = _GNScaleBias(
             features=c, param_dtype=self.policy.param_dtype, name="GroupNorm_0"
         )()
-        red = tuple(range(1, a.ndim - 1))
-        n_el = int(np.prod([a.shape[i] for i in red]))
-        a32, b32 = a.astype(jnp.float32), b.astype(jnp.float32)
-        # per-channel partial sums -> tiny (B, C) tensors; the big parts are
-        # only read, never re-written as a concat
-        s = jnp.concatenate([a32.sum(red), b32.sum(red)], axis=-1)
-        s2 = jnp.concatenate(
-            [(a32 * a32).sum(red), (b32 * b32).sum(red)], axis=-1
+        return _group_norm(
+            a, scale, bias, b_part=b, num_groups=self.num_groups,
+            eps=self.eps, silu=self.fuse_silu,
         )
-        bsz = a.shape[0]
-        gs = s.reshape(bsz, self.num_groups, g).sum(-1)
-        gs2 = s2.reshape(bsz, self.num_groups, g).sum(-1)
-        cnt = n_el * g
-        mu = gs / cnt
-        var = gs2 / cnt - mu * mu
-        inv = jax.lax.rsqrt(var + self.eps)
-        mu_c = jnp.repeat(mu, g, axis=-1)  # (B, C)
-        inv_c = jnp.repeat(inv, g, axis=-1)
-        scale32 = scale.astype(jnp.float32)
-        bias32 = bias.astype(jnp.float32)
-
-        def norm(x32, sl, dtype):
-            shp = (bsz,) + (1,) * (x32.ndim - 2) + (-1,)
-            m = mu_c[:, sl].reshape(shp)
-            iv = inv_c[:, sl].reshape(shp)
-            pshp = (1,) * (x32.ndim - 1) + (-1,)
-            sc = scale32[sl].reshape(pshp)
-            bi = bias32[sl].reshape(pshp)
-            return ((x32 - m) * iv * sc + bi).astype(dtype)
-
-        return norm(a32, slice(0, ca), a.dtype), norm(b32, slice(ca, c), b.dtype)
 
 
 class SplitConv(nn.Module):
@@ -402,8 +372,8 @@ class TemporalConvBlock(nn.Module):
     def __call__(self, x):
         identity = x
         for i in range(1, 5):
-            h = GroupNorm32(policy=self.policy, name=f"norm{i}")(x if i == 1 else h)
-            h = jax.nn.silu(h)
+            h = GroupNorm32(policy=self.policy, fuse_silu=True,
+                            name=f"norm{i}")(x if i == 1 else h)
             h = nn.Conv(
                 self.channels,
                 kernel_size=(3, 1, 1),
@@ -444,14 +414,15 @@ class ResBlock(nn.Module):
             param_dtype=self.policy.param_dtype,
         )
         if pair:
-            na, nb = GroupNorm32(policy=self.policy, name="in_norm")(x)
+            na, nb = GroupNorm32(policy=self.policy, fuse_silu=True,
+                                 name="in_norm")(x)
             h = SplitConv(
                 features=self.out_channels, kernel_size=(3, 3),
                 policy=self.policy, name="in_conv",
-            )(jax.nn.silu(na), jax.nn.silu(nb))
+            )(na, nb)
         else:
-            h = GroupNorm32(policy=self.policy, name="in_norm")(x)
-            h = jax.nn.silu(h)
+            h = GroupNorm32(policy=self.policy, fuse_silu=True,
+                            name="in_norm")(x)
             h = conv(self.out_channels, "in_conv")(h)
 
         emb_out = nn.Dense(
@@ -462,8 +433,7 @@ class ResBlock(nn.Module):
         )(jax.nn.silu(emb))
         h = h + emb_out[:, None, None, :]
 
-        h = GroupNorm32(policy=self.policy, name="out_norm")(h)
-        h = jax.nn.silu(h)
+        h = GroupNorm32(policy=self.policy, fuse_silu=True, name="out_norm")(h)
         h = conv(self.out_channels, "out_conv", zero=True)(h)
 
         if pair:

@@ -325,8 +325,7 @@ class UNetSD(nn.Module):
                 x = self._apply_block(d, x, e_f, ctx_f, b, f)
 
         # head (t2v_model.py:321-326), zero-init conv
-        x = B.GroupNorm32(policy=p, name="head_norm")(x)
-        x = jax.nn.silu(x)
+        x = B.GroupNorm32(policy=p, fuse_silu=True, name="head_norm")(x)
         x = nn.Conv(
             cfg.out_dim,
             kernel_size=(3, 3),

@@ -182,14 +182,13 @@ class ResBlock3D(nn.Module):
         # channel concat (openaimodel3d.py th.cat); see blocks.SplitConv
         pair = isinstance(x, tuple)
         if pair:
-            na, nb = B.GroupNorm32(policy=p, name="in_norm")(x)
+            na, nb = B.GroupNorm32(policy=p, fuse_silu=True, name="in_norm")(x)
             h = Conv3dFactorized(
                 self.out_channels, self.kernel_size_t, self.padding_t,
                 policy=p, name="in_conv",
-            )((jax.nn.silu(na), jax.nn.silu(nb)))
+            )((na, nb))
         else:
-            h = B.GroupNorm32(policy=p, name="in_norm")(x)
-            h = jax.nn.silu(h)
+            h = B.GroupNorm32(policy=p, fuse_silu=True, name="in_norm")(x)
             h = Conv3dFactorized(
                 self.out_channels, self.kernel_size_t, self.padding_t,
                 policy=p, name="in_conv",
@@ -199,8 +198,7 @@ class ResBlock3D(nn.Module):
             dtype=p.compute_dtype, param_dtype=p.param_dtype,
         )(jax.nn.silu(emb))
         h = h + emb_out[:, None, None, None, :]
-        h = B.GroupNorm32(policy=p, name="out_norm")(h)
-        h = jax.nn.silu(h)
+        h = B.GroupNorm32(policy=p, fuse_silu=True, name="out_norm")(h)
         h = Conv3dFactorized(
             self.out_channels, self.kernel_size_t, self.padding_t,
             zero_init=True, policy=p, name="out_conv",
@@ -616,8 +614,7 @@ class VideoCrafterUNet(nn.Module):
             for d in entry[1:]:
                 x = self._apply(d, x, emb, ctx)
 
-        x = B.GroupNorm32(policy=p, name="head_norm")(x)
-        x = jax.nn.silu(x)
+        x = B.GroupNorm32(policy=p, fuse_silu=True, name="head_norm")(x)
         return Conv3dFactorized(
             cfg.out_channels, cfg.kernel_size_t, cfg.padding_t,
             zero_init=True, policy=p, name="head_conv",
