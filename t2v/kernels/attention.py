@@ -133,6 +133,65 @@ def self_attention_packed(
     )
 
 
+def _cross_mha_ref(q, k, v, heads, scale):
+    """XLA reference for fused_cross_mha: fold heads, dot-product attention
+    over the short context, unfold. CPU path and recompute backward."""
+    b, n, hd = q.shape
+    s = k.shape[1]
+    dh = hd // heads
+    foldq = q.reshape(b, n, heads, dh).transpose(0, 2, 1, 3).reshape(b * heads, n, dh)
+    foldk = k.reshape(b, s, heads, dh).transpose(0, 2, 1, 3).reshape(b * heads, s, dh)
+    foldv = v.reshape(b, s, heads, dh).transpose(0, 2, 1, 3).reshape(b * heads, s, dh)
+    out = xla_attention(foldq, foldk, foldv, scale)
+    return out.reshape(b, heads, n, dh).transpose(0, 2, 1, 3).reshape(b, n, hd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_cross_diff(q, k, v, heads, scale):
+    from t2v.kernels.fused_mha import fused_cross_mha
+
+    return fused_cross_mha(q, k, v, heads=heads, scale=scale)
+
+
+def _fused_cross_fwd(q, k, v, heads, scale):
+    return _fused_cross_diff(q, k, v, heads, scale), (q, k, v)
+
+
+def _fused_cross_bwd(heads, scale, res, g):
+    # recompute through the XLA reference: the context is short (77
+    # tokens), so the (N, S) score matrix is cheap to rebuild
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: _cross_mha_ref(a, b, c, heads, scale), q, k, v)
+    return vjp(g)
+
+
+_fused_cross_diff.defvjp(_fused_cross_fwd, _fused_cross_bwd)
+
+
+def cross_attention_packed(
+    q, k, v, heads: int, scale: float | None = None, force: str | None = None
+):
+    """Cross-attention on (B, N, H·D) queries over (B, S, H·D) context with
+    heads PACKED in the minor dim — no head-fold transposes on TPU.
+
+    Callers with a per-sample shared context merge the frame axis into N
+    first ((B·F, n) → (B, F·n), a free reshape) so k/v are projected once
+    per sample instead of once per frame. Short contexts take the Pallas
+    packed kernel (t2v/kernels/fused_mha.py::fused_cross_mha); long ones
+    and CPU fall back to the folded XLA/flash dispatch.
+    """
+    b, n, hd = q.shape
+    s = k.shape[1]
+    dh = hd // heads
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if force is None and on_tpu and s < FLASH_MIN_KV and hd % heads == 0:
+        return _fused_cross_diff(q, k, v, heads, scale)
+    unfoldq = q.reshape(b, n, heads, dh)
+    unfoldk = k.reshape(b, s, heads, dh)
+    unfoldv = v.reshape(b, s, heads, dh)
+    return attention_mh(unfoldq, unfoldk, unfoldv, scale, force).reshape(b, n, hd)
+
+
 def attention_mh(q, k, v, scale: float | None = None, force: str | None = None):
     """Multihead attention entry on (B, N, H, D) -> (B, N, H, D).
 

@@ -87,6 +87,82 @@ def _block_seqs(b: int, seq: int) -> int:
     return cap
 
 
+def _cross_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
+    """One (row-block, kv) pair: full attention of ``rb`` query rows over
+    the whole (short) kv sequence, packed heads as static lane slices."""
+    q = q_ref[0]  # (rb, H·D)
+    k = k_ref[0]  # (S, H·D)
+    v = v_ref[0]
+    hd = q.shape[-1]
+    dh = hd // heads
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / l
+        o_ref[0, :, sl] = oh.astype(o_ref.dtype)
+
+
+# query rows per grid step for the cross kernel; 4096 rows of f32 scores
+# over a lane-padded 77..128-token context is ~2 MB of VMEM
+_CROSS_TARGET_ROWS = 4096
+
+
+def _row_block(n: int) -> int:
+    """Largest divisor of ``n`` ≤ _CROSS_TARGET_ROWS (query rows are
+    (frames·tokens) products — highly composite; a divisor always exists
+    down to 1, so the wrapper never pads)."""
+    cap = min(n, _CROSS_TARGET_ROWS)
+    for d in range(cap, 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+def fused_cross_mha(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    scale: float | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Cross-attention on packed heads: q (B, N, H·D) over k/v (B, S, H·D)
+    with SHORT S (text context, 77 tokens). No head folding — q arrives
+    exactly as the projections emit it; heads are static lane slices.
+
+    Large N is welcome: callers merge the frame axis into the query rows
+    ((B·F, n) → (B, F·n)) so one sample's whole video attends its single
+    shared context — see CrossAttention in t2v/models/blocks.py.
+    """
+    b, n, hd = q.shape
+    s = k.shape[1]
+    if scale is None:
+        scale = (hd // heads) ** -0.5
+    rb = _row_block(n)
+    return pl.pallas_call(
+        functools.partial(_cross_mha_kernel, heads=heads, scale=float(scale)),
+        grid=(b, n // rb),
+        in_specs=[
+            pl.BlockSpec((1, rb, hd), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, s, hd), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, s, hd), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, rb, hd), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, hd), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
 def fused_self_mha(
     q: jax.Array,

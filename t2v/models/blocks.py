@@ -33,6 +33,7 @@ import numpy as np
 from t2v.core.dtypes import Policy
 from t2v.kernels.attention import attention as _attention
 from t2v.kernels.attention import attention_mh as _attention_mh
+from t2v.kernels.attention import cross_attention_packed as _cross_attention_packed
 from t2v.kernels.attention import self_attention_packed as _self_attention_packed
 from t2v.kernels.group_norm import group_norm as _group_norm
 
@@ -155,13 +156,36 @@ class SplitConv(nn.Module):
         return conv(a, k[..., :ca, :]) + conv(b, k[..., ca:, :]) + bias.astype(cd)
 
 
+def _tokens_2d(mod, x):
+    """Apply a per-token Dense over ``(B, N, C)`` as one 2D ``(B·N, C)``
+    GEMM. Measured motivation (v5e device trace): XLA lowers small-N 3D
+    batched dots (e.g. proj_out: 48×1024×320 @ 320) through its conv
+    emitter (``EmitAllBatchInSublanes``) with token-minor layouts at ~5
+    TFLOP/s plus a layout copy on each side; the flattened 2D GEMM takes
+    the canonical row-major MXU path."""
+    b, n, c = x.shape
+    return mod(x.reshape(b * n, c)).reshape(b, n, -1)
+
+
 class CrossAttention(nn.Module):
-    """QKV attention (t2v_model.py:518-584). Self-attention when no context."""
+    """QKV attention (t2v_model.py:518-584). Self-attention when no context.
+
+    ``attend_axis_split=(b, f)`` declares that the batch axis of the input
+    is really ``b*f`` and attention must run ACROSS the ``f`` slices (the
+    temporal transformer). The q/k/v/out projections are per-token, so they
+    stay in the resident ``(b*f, n, c)`` layout — only the packed attention
+    sees the ``(b*n, f, c)`` arrangement, through explicit transposes at
+    the kernel boundary. Measured motivation (v5e device trace): running
+    the whole temporal block in the transposed domain made XLA assign
+    token-minor layouts to every matmul in it — proj/FFN dots lowered as
+    window-24 convolutions at ~8 TFLOP/s, 40x off MXU peak; swapping only
+    around the attention keeps every GEMM canonical."""
 
     query_dim: int
     context_dim: Optional[int] = None
     heads: int = 8
     dim_head: int = 64
+    attend_axis_split: Optional[tuple[int, int]] = None
     policy: Policy = Policy()
 
     @nn.compact
@@ -175,23 +199,43 @@ class CrossAttention(nn.Module):
             param_dtype=self.policy.param_dtype,
         )
         ctx = x if context is None else context
-        q = dense(inner, "to_q", bias=False)(x)
-        k = dense(inner, "to_k", bias=False)(ctx)
-        v = dense(inner, "to_v", bias=False)(ctx)
+        q = _tokens_2d(dense(inner, "to_q", bias=False), x)
+        k = _tokens_2d(dense(inner, "to_k", bias=False), ctx)
+        v = _tokens_2d(dense(inner, "to_v", bias=False), ctx)
 
         b, n, _ = q.shape
         s = k.shape[1]
         if context is None:
-            # self-attention: keep heads packed in the minor dim — the
-            # fused kernel path avoids the multihead fold transposes
-            out = _self_attention_packed(q, k, v, self.heads)
+            if self.attend_axis_split is not None:
+                bb, ff = self.attend_axis_split
+                swap = lambda t: t.reshape(bb, ff, n, inner).transpose(
+                    0, 2, 1, 3
+                ).reshape(bb * n, ff, inner)
+                unswap = lambda t: t.reshape(bb, n, ff, inner).transpose(
+                    0, 2, 1, 3
+                ).reshape(b, n, inner)
+                out = unswap(
+                    _self_attention_packed(swap(q), swap(k), swap(v), self.heads)
+                )
+            else:
+                # self-attention: keep heads packed in the minor dim — the
+                # fused kernel path avoids the multihead fold transposes
+                out = _self_attention_packed(q, k, v, self.heads)
         else:
-            unfold = lambda t, length: t.reshape(
-                b, length, self.heads, self.dim_head
-            )
-            out = _attention_mh(unfold(q, n), unfold(k, s), unfold(v, s))
-            out = out.reshape(b, n, inner)
-        return dense(self.query_dim, "to_out")(out)
+            cb = k.shape[0]
+            if cb != b:
+                # shared context: the caller passed ONE context row per
+                # sample while x carries b = cb·f frame rows (sample-major).
+                # k/v were projected once per sample (f× less work); merge
+                # the frame axis into the query rows — a free reshape — so
+                # one sample's whole video attends its single context.
+                f = b // cb
+                out = _cross_attention_packed(
+                    q.reshape(cb, f * n, inner), k, v, self.heads
+                ).reshape(b, n, inner)
+            else:
+                out = _cross_attention_packed(q, k, v, self.heads)
+        return _tokens_2d(dense(self.query_dim, "to_out"), out)
 
 
 class GEGLUFeedForward(nn.Module):
@@ -204,34 +248,45 @@ class GEGLUFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         inner = int(self.dim * self.mult)
-        proj = nn.Dense(
-            inner * 2,
-            name="geglu",
-            dtype=self.policy.compute_dtype,
-            param_dtype=self.policy.param_dtype,
-        )(x)
+        proj = _tokens_2d(
+            nn.Dense(
+                inner * 2,
+                name="geglu",
+                dtype=self.policy.compute_dtype,
+                param_dtype=self.policy.param_dtype,
+            ),
+            x,
+        )
         h, gate = jnp.split(proj, 2, axis=-1)
         # gelu in compute dtype: the reference runs GEGLU under fp16
         # autocast (t2v_pipeline.py:275), and an f32 upcast here forces XLA
         # to materialise the doubled projection in f32 — 6.75 GB at
         # 1024×576 temporal blocks (OOM on one chip)
         h = h * jax.nn.gelu(gate, approximate=False)
-        return nn.Dense(
-            self.dim,
-            name="out",
-            dtype=self.policy.compute_dtype,
-            param_dtype=self.policy.param_dtype,
-        )(h)
+        return _tokens_2d(
+            nn.Dense(
+                self.dim,
+                name="out",
+                dtype=self.policy.compute_dtype,
+                param_dtype=self.policy.param_dtype,
+            ),
+            h,
+        )
 
 
 class BasicTransformerBlock(nn.Module):
-    """Pre-LN self + cross + GEGLU FF block (t2v_model.py:770-809)."""
+    """Pre-LN self + cross + GEGLU FF block (t2v_model.py:770-809).
+
+    ``attend_axis_split`` — see CrossAttention: per-token sublayers (LN,
+    projections, FF) run in the resident token layout; only the
+    self-attention cores attend across the split axis."""
 
     dim: int
     heads: int
     dim_head: int
     context_dim: Optional[int] = None
     disable_self_attn: bool = False
+    attend_axis_split: Optional[tuple[int, int]] = None
     policy: Policy = Policy()
 
     @nn.compact
@@ -247,6 +302,7 @@ class BasicTransformerBlock(nn.Module):
             context_dim=self.context_dim if self.disable_self_attn else None,
             heads=self.heads,
             dim_head=self.dim_head,
+            attend_axis_split=self.attend_axis_split,
             policy=self.policy,
             name="attn1",
         )
@@ -255,6 +311,7 @@ class BasicTransformerBlock(nn.Module):
             context_dim=self.context_dim,
             heads=self.heads,
             dim_head=self.dim_head,
+            attend_axis_split=self.attend_axis_split,
             policy=self.policy,
             name="attn2",
         )
@@ -288,12 +345,15 @@ class SpatialTransformer(nn.Module):
         x = GroupNorm32(eps=1e-6, policy=self.policy, name="norm")(x)
         x = x.reshape(bf, h * w, c)
         inner = self.heads * self.dim_head
-        x = nn.Dense(
-            inner,
-            name="proj_in",
-            dtype=self.policy.compute_dtype,
-            param_dtype=self.policy.param_dtype,
-        )(x)
+        x = _tokens_2d(
+            nn.Dense(
+                inner,
+                name="proj_in",
+                dtype=self.policy.compute_dtype,
+                param_dtype=self.policy.param_dtype,
+            ),
+            x,
+        )
         for d in range(self.depth):
             x = BasicTransformerBlock(
                 dim=inner,
@@ -303,13 +363,16 @@ class SpatialTransformer(nn.Module):
                 policy=self.policy,
                 name=f"block_{d}",
             )(x, context=context)
-        x = nn.Dense(
-            self.channels,
-            name="proj_out",
-            kernel_init=nn.initializers.zeros,
-            dtype=self.policy.compute_dtype,
-            param_dtype=self.policy.param_dtype,
-        )(x)
+        x = _tokens_2d(
+            nn.Dense(
+                self.channels,
+                name="proj_out",
+                kernel_init=nn.initializers.zeros,
+                dtype=self.policy.compute_dtype,
+                param_dtype=self.policy.param_dtype,
+            ),
+            x,
+        )
         return x.reshape(bf, h, w, c) + x_in
 
 
@@ -329,32 +392,46 @@ class TemporalTransformer(nn.Module):
         b, f, h, w, c = x.shape
         x_in = x
         x = GroupNorm32(eps=1e-6, policy=self.policy, name="norm")(x)
-        # (b h w) f c token layout
-        x = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
+        # Stay in the canonical (b·f, h·w, c) token layout — the same one
+        # the spatial transformer uses. Every per-token op (projections,
+        # LayerNorms, FF) commutes with the frame<->space transpose, so only
+        # the attention cores see the (b·h·w, f, c) arrangement (see
+        # CrossAttention.attend_axis_split). Device-trace motivation: the
+        # previous whole-block transposed residency made XLA lay out every
+        # matmul token-minor (proj dots lowered as window-f convolutions,
+        # ~40x off MXU peak).
+        x = x.reshape(b * f, h * w, c)
         inner = self.heads * self.dim_head
-        x = nn.Dense(
-            inner,
-            name="proj_in",
-            dtype=self.policy.compute_dtype,
-            param_dtype=self.policy.param_dtype,
-        )(x)
+        x = _tokens_2d(
+            nn.Dense(
+                inner,
+                name="proj_in",
+                dtype=self.policy.compute_dtype,
+                param_dtype=self.policy.param_dtype,
+            ),
+            x,
+        )
         for d in range(self.depth):
             x = BasicTransformerBlock(
                 dim=inner,
                 heads=self.heads,
                 dim_head=self.dim_head,
                 context_dim=None,  # only_self_att=True (t2v_model.py:678-681)
+                attend_axis_split=(b, f),
                 policy=self.policy,
                 name=f"block_{d}",
             )(x)
-        x = nn.Dense(
-            self.channels,
-            name="proj_out",
-            kernel_init=nn.initializers.zeros,
-            dtype=self.policy.compute_dtype,
-            param_dtype=self.policy.param_dtype,
-        )(x)
-        x = x.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
+        x = _tokens_2d(
+            nn.Dense(
+                self.channels,
+                name="proj_out",
+                kernel_init=nn.initializers.zeros,
+                dtype=self.policy.compute_dtype,
+                param_dtype=self.policy.param_dtype,
+            ),
+            x,
+        )
+        x = x.reshape(b, f, h, w, c)
         if self.multiply_zero:
             return x_in
         return x + x_in

@@ -358,15 +358,16 @@ class BasicTransformerBlockST(nn.Module):
         )(ln("norm4")(xt).astype(dt)) + xt
         x = untemporal(xt)
 
-        # spatial cross attention; context repeated per frame
+        # spatial cross attention. The reference repeats context per frame
+        # (attention_temporal.py:317-324); here the un-repeated (B, L, D)
+        # context goes straight in — CrossAttention detects the smaller
+        # context batch, projects k/v once per sample, and merges the
+        # frame axis into the query rows (free reshape, identical math).
         xs = spatial(x)
-        ctx = None
-        if context is not None:
-            ctx = jnp.repeat(context, t, axis=0)
         xs = B.CrossAttention(
             query_dim=self.dim, context_dim=self.context_dim,
             heads=self.heads, dim_head=self.dim_head, policy=p, name="attn2",
-        )(ln("norm2")(xs).astype(dt), context=ctx) + xs
+        )(ln("norm2")(xs).astype(dt), context=context) + xs
         x = unspatial(xs)
 
         # temporal "cross" (self) attention
