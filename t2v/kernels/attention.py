@@ -133,6 +133,69 @@ def self_attention_packed(
     )
 
 
+def _temporal_mha_ref(q, k, v, heads, f, scale):
+    """XLA reference for fused_temporal_mha: materialise the frame<->token
+    transpose, run folded self-attention across frames, transpose back.
+    CPU path and recompute backward."""
+    bf, n, hd = q.shape
+    b = bf // f
+    swap = lambda t: t.reshape(b, f, n, hd).transpose(0, 2, 1, 3).reshape(
+        b * n, f, hd
+    )
+    unswap = lambda t: t.reshape(b, n, f, hd).transpose(0, 2, 1, 3).reshape(
+        bf, n, hd
+    )
+    return unswap(_self_mha_ref(swap(q), swap(k), swap(v), heads, scale))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_temporal_diff(q, k, v, heads, f, scale):
+    from t2v.kernels.fused_mha import fused_temporal_mha
+
+    return fused_temporal_mha(q, k, v, heads=heads, f=f, scale=scale)
+
+
+def _fused_temporal_fwd(q, k, v, heads, f, scale):
+    return _fused_temporal_diff(q, k, v, heads, f, scale), (q, k, v)
+
+
+def _fused_temporal_bwd(heads, f, scale, res, g):
+    # recompute through the XLA reference — frames are short, scores cheap
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: _temporal_mha_ref(a, b, c, heads, f, scale), q, k, v
+    )
+    return vjp(g)
+
+
+_fused_temporal_diff.defvjp(_fused_temporal_fwd, _fused_temporal_bwd)
+
+
+def temporal_attention_packed(
+    q, k, v, heads: int, f: int,
+    scale: float | None = None, force: str | None = None,
+):
+    """Self-attention ACROSS the frame axis of sample-major (B·F, N, H·D)
+    tensors, staying in the spatial token layout. On TPU the Pallas kernel
+    does the frame<->token swap inside VMEM blocks; CPU (and very long
+    frame counts) fall back to materialised transposes + the standard
+    self-attention dispatch."""
+    bf, n, hd = q.shape
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if force is None and on_tpu and f < FLASH_MIN_KV and hd % heads == 0:
+        return _fused_temporal_diff(q, k, v, heads, f, scale)
+    b = bf // f
+    swap = lambda t: t.reshape(b, f, n, hd).transpose(0, 2, 1, 3).reshape(
+        b * n, f, hd
+    )
+    unswap = lambda t: t.reshape(b, n, f, hd).transpose(0, 2, 1, 3).reshape(
+        bf, n, hd
+    )
+    return unswap(
+        self_attention_packed(swap(q), swap(k), swap(v), heads, scale, force)
+    )
+
+
 def _cross_mha_ref(q, k, v, heads, scale):
     """XLA reference for fused_cross_mha: fold heads, dot-product attention
     over the short context, unfold. CPU path and recompute backward."""

@@ -87,6 +87,94 @@ def _block_seqs(b: int, seq: int) -> int:
     return cap
 
 
+def _temporal_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int,
+                         scale: float, f: int, nb: int):
+    """Attention ACROSS the frame axis on the resident spatial layout.
+
+    Blocks arrive as (f, nb, H·D) — f frame rows of the same sample, nb
+    spatial tokens each. The frame<->token transpose happens HERE, in
+    VMEM (a register shuffle), instead of as q/k/v/out HBM relayouts in
+    the surrounding program. After the in-register swap this is the same
+    dense block-diagonal trick as _self_mha_kernel: all nb length-f
+    attention instances of one head as a single (nb·f, nb·f) masked
+    matmul — frames are short (16-125), so full MXU tiles require the
+    packing."""
+    rows = nb * f
+    hd = q_ref.shape[-1]
+    dh = hd // heads
+    swap = lambda r: jnp.transpose(r[...], (1, 0, 2)).reshape(rows, hd)
+    q = swap(q_ref)
+    k = swap(k_ref)
+    v = swap(v_ref)
+
+    row_seq = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // f
+    col_seq = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1) // f
+    neg = jnp.float32(-1e30)
+
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(row_seq == col_seq, s, neg)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / l
+        o_ref[..., sl] = jnp.transpose(
+            oh.reshape(nb, f, dh), (1, 0, 2)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "f", "scale", "interpret"))
+def fused_temporal_mha(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    f: int,
+    scale: float | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Frame-axis self-attention on (B·F, N, H·D) WITHOUT leaving the
+    spatial token layout: row group i·f..(i+1)·f of the leading axis is
+    sample i's f frames (sample-major, as the UNets batch frames), and
+    attention runs across those f rows independently per spatial token.
+
+    Equivalent to transpose→self-attention→transpose, but the transposes
+    live inside the kernel's VMEM blocks — nothing frame-minor ever
+    touches HBM.
+    """
+    bf, n, hd = q.shape
+    assert bf % f == 0, (bf, f)
+    b = bf // f
+    if scale is None:
+        scale = (hd // heads) ** -0.5
+    # spatial tokens per grid step; n = h·w is highly composite, so a
+    # divisor near the packing target always exists
+    cap = max(1, _TARGET_ROWS // f)
+    nb = 1
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0:
+            nb = d
+            break
+    return pl.pallas_call(
+        functools.partial(
+            _temporal_mha_kernel, heads=heads, scale=float(scale), f=f, nb=nb
+        ),
+        grid=(b, n // nb),
+        in_specs=[pl.BlockSpec((f, nb, hd), lambda i, j: (i, j, 0))] * 3,
+        out_specs=pl.BlockSpec((f, nb, hd), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bf, n, hd), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
 def _cross_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
     """One (row-block, kv) pair: full attention of ``rb`` query rows over
     the whole (short) kv sequence, packed heads as static lane slices."""

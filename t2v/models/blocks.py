@@ -35,6 +35,7 @@ from t2v.kernels.attention import attention as _attention
 from t2v.kernels.attention import attention_mh as _attention_mh
 from t2v.kernels.attention import cross_attention_packed as _cross_attention_packed
 from t2v.kernels.attention import self_attention_packed as _self_attention_packed
+from t2v.kernels.attention import temporal_attention_packed as _temporal_attention_packed
 from t2v.kernels.group_norm import group_norm as _group_norm
 
 
@@ -171,15 +172,16 @@ class CrossAttention(nn.Module):
     """QKV attention (t2v_model.py:518-584). Self-attention when no context.
 
     ``attend_axis_split=(b, f)`` declares that the batch axis of the input
-    is really ``b*f`` and attention must run ACROSS the ``f`` slices (the
-    temporal transformer). The q/k/v/out projections are per-token, so they
-    stay in the resident ``(b*f, n, c)`` layout — only the packed attention
-    sees the ``(b*n, f, c)`` arrangement, through explicit transposes at
-    the kernel boundary. Measured motivation (v5e device trace): running
+    is really ``b*f`` (sample-major) and attention must run ACROSS the
+    ``f`` slices (the temporal transformer). Everything — projections,
+    residency, and the attention core — stays in the resident
+    ``(b*f, n, c)`` layout; the frame<->token swap happens inside the
+    Pallas kernel's VMEM blocks (t2v/kernels/fused_mha.py::
+    fused_temporal_mha). Measured motivation (v5e device trace): running
     the whole temporal block in the transposed domain made XLA assign
     token-minor layouts to every matmul in it — proj/FFN dots lowered as
-    window-24 convolutions at ~8 TFLOP/s, 40x off MXU peak; swapping only
-    around the attention keeps every GEMM canonical."""
+    window-24 convolutions at ~8 TFLOP/s, 40x off MXU peak — and
+    host-program swap transposes around the attention cost HBM copies."""
 
     query_dim: int
     context_dim: Optional[int] = None
@@ -207,16 +209,11 @@ class CrossAttention(nn.Module):
         s = k.shape[1]
         if context is None:
             if self.attend_axis_split is not None:
-                bb, ff = self.attend_axis_split
-                swap = lambda t: t.reshape(bb, ff, n, inner).transpose(
-                    0, 2, 1, 3
-                ).reshape(bb * n, ff, inner)
-                unswap = lambda t: t.reshape(bb, n, ff, inner).transpose(
-                    0, 2, 1, 3
-                ).reshape(b, n, inner)
-                out = unswap(
-                    _self_attention_packed(swap(q), swap(k), swap(v), self.heads)
-                )
+                _, ff = self.attend_axis_split
+                # attend across the f frame rows without leaving the
+                # resident token layout — the Pallas kernel swaps inside
+                # its VMEM blocks, so no frame-minor HBM relayouts
+                out = _temporal_attention_packed(q, k, v, self.heads, ff)
             else:
                 # self-attention: keep heads packed in the minor dim — the
                 # fused kernel path avoids the multihead fold transposes

@@ -120,6 +120,67 @@ def test_cross_shared_context_merge_equals_per_frame():
     )
 
 
+@pytest.mark.parametrize(
+    "b,f,n,heads,dh",
+    [
+        (2, 24, 64, 8, 64),   # frames=24, 8x8 tokens
+        (2, 16, 36, 4, 32),   # frames=16, non-pow2 tokens
+        (1, 5, 128, 2, 16),   # odd frame count
+        (3, 8, 7, 2, 16),     # prime token count (nb=7 or 1)
+    ],
+)
+def test_fused_temporal_matches_transposed_reference(b, f, n, heads, dh):
+    from t2v.kernels.attention import _temporal_mha_ref
+    from t2v.kernels.fused_mha import fused_temporal_mha
+
+    hd = heads * dh
+    key = jax.random.key(7)
+    q, k, v = (
+        jax.random.normal(jax.random.fold_in(key, i), (b * f, n, hd), jnp.float32)
+        for i in range(3)
+    )
+    out = fused_temporal_mha(q, k, v, heads=heads, f=f, interpret=True)
+    ref = _temporal_mha_ref(q, k, v, heads, f, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_temporal_packed_dispatch_cpu_matches_reference():
+    from t2v.kernels.attention import (
+        _temporal_mha_ref,
+        temporal_attention_packed,
+    )
+
+    b, f, n, heads, dh = 2, 6, 16, 4, 16
+    hd = heads * dh
+    key = jax.random.key(8)
+    q, k, v = (
+        jax.random.normal(jax.random.fold_in(key, i), (b * f, n, hd), jnp.float32)
+        for i in range(3)
+    )
+    out = temporal_attention_packed(q, k, v, heads=heads, f=f)
+    ref = _temporal_mha_ref(q, k, v, heads, f, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_temporal_grad_matches_reference_grad():
+    from t2v.kernels.attention import _fused_temporal_bwd, _temporal_mha_ref
+
+    b, f, n, heads, dh = 2, 4, 6, 2, 16
+    hd = heads * dh
+    key = jax.random.key(9)
+    q, k, v = (
+        jax.random.normal(jax.random.fold_in(key, i), (b * f, n, hd), jnp.float32)
+        for i in range(3)
+    )
+    g = jax.random.normal(jax.random.fold_in(key, 9), (b * f, n, hd), jnp.float32)
+    ref_fn = lambda a, bb, c: _temporal_mha_ref(a, bb, c, heads, f, None)
+    _, ref_vjp = jax.vjp(ref_fn, q, k, v)
+    want = ref_vjp(g)
+    got = _fused_temporal_bwd(heads, f, None, (q, k, v), g)
+    for w, gt in zip(want, got):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(w), atol=1e-5)
+
+
 def test_fused_cross_grad_matches_reference_grad():
     from t2v.kernels.attention import _cross_mha_ref, _fused_cross_bwd
 
