@@ -33,6 +33,7 @@ import numpy as np
 
 from t2v.core.dtypes import Policy
 from t2v.models import blocks as B
+from t2v.models.blocks import _tokens_2d
 
 
 @dataclass(frozen=True)
@@ -248,13 +249,25 @@ class RelativePosition(nn.Module):
 
 class TemporalCrossAttention(nn.Module):
     """Temporal self-attention with relative-position score/value bias
-    (attention_temporal.py:68-144); q/k/v/out zero-init."""
+    (attention_temporal.py:68-144); q/k/v/out zero-init.
+
+    Input contracts:
+      * default — (B', T, C) frame tokens (the reference layout);
+      * ``frame_split=t`` — (B·t, N, C) sample-major SPATIAL tokens: the
+        per-token q/k/v projections run in the resident layout and only
+        the head fold crosses to the frame axis, so the surrounding block
+        never materialises a frame-minor relayout of the full tensor.
+        The relative-position bias rules out the packed Pallas temporal
+        kernel here (score AND value biases depend on the attention
+        weights per head), so the fold transposes stay — but on q/k/v
+        only, not on the block residual stream."""
 
     query_dim: int
     heads: int
     dim_head: int
     temporal_length: Optional[int] = None
     use_relative_position: bool = True
+    frame_split: Optional[int] = None
     policy: Policy = Policy()
 
     @nn.compact
@@ -266,15 +279,25 @@ class TemporalCrossAttention(nn.Module):
             kernel_init=nn.initializers.zeros,
             dtype=p.compute_dtype, param_dtype=p.param_dtype,
         )
-        q = dense(inner, "to_q", bias=False)(x)
-        k = dense(inner, "to_k", bias=False)(x)
-        v = dense(inner, "to_v", bias=False)(x)
-        b, t, _ = x.shape
-        fold = lambda z: (
-            z.reshape(b, t, self.heads, self.dim_head)
-            .transpose(0, 2, 1, 3)
-            .reshape(b * self.heads, t, self.dim_head)
-        )
+        q = _tokens_2d(dense(inner, "to_q", bias=False), x)
+        k = _tokens_2d(dense(inner, "to_k", bias=False), x)
+        v = _tokens_2d(dense(inner, "to_v", bias=False), x)
+        if self.frame_split:
+            t = self.frame_split
+            bt, n, _ = x.shape
+            bb = bt // t
+            fold = lambda z: (
+                z.reshape(bb, t, n, self.heads, self.dim_head)
+                .transpose(0, 2, 3, 1, 4)
+                .reshape(bb * n * self.heads, t, self.dim_head)
+            )
+        else:
+            b, t, _ = x.shape
+            fold = lambda z: (
+                z.reshape(b, t, self.heads, self.dim_head)
+                .transpose(0, 2, 1, 3)
+                .reshape(b * self.heads, t, self.dim_head)
+            )
         q, k, v = fold(q), fold(k), fold(v)
         scale = self.dim_head**-0.5
         sim = jnp.einsum(
@@ -299,12 +322,19 @@ class TemporalCrossAttention(nn.Module):
                 name="relative_position_v",
             )(t, t)
             out = out + jnp.einsum("bts,tsd->btd", attn, v2.astype(attn.dtype))
-        out = (
-            out.reshape(b, self.heads, t, self.dim_head)
-            .transpose(0, 2, 1, 3)
-            .reshape(b, t, inner)
-        )
-        return dense(self.query_dim, "to_out")(out)
+        if self.frame_split:
+            out = (
+                out.reshape(bb, n, self.heads, t, self.dim_head)
+                .transpose(0, 3, 1, 2, 4)
+                .reshape(bt, n, inner)
+            )
+        else:
+            out = (
+                out.reshape(b, self.heads, t, self.dim_head)
+                .transpose(0, 2, 1, 3)
+                .reshape(b, t, inner)
+            )
+        return _tokens_2d(dense(self.query_dim, "to_out"), out)
 
 
 class BasicTransformerBlockST(nn.Module):
@@ -327,63 +357,50 @@ class BasicTransformerBlockST(nn.Module):
             epsilon=1e-5, name=name, dtype=jnp.float32, param_dtype=p.param_dtype
         )
 
-        def spatial(z):
-            return z.reshape(b * t, h * w, c)
-
-        def unspatial(z):
-            return z.reshape(b, t, h, w, c)
-
-        def temporal(z):
-            return z.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
-
-        def untemporal(z):
-            return z.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
-
+        # The whole block stays resident in the spatial token layout
+        # (B·T, H·W, C). The reference ping-pongs the residual stream
+        # between (b t)(h w) and (b h w) t layouts per sublayer
+        # (attention_temporal.py:298-335) — on TPU each hop is a full HBM
+        # relayout and the frame-minor residency poisons downstream GEMM
+        # layouts (see TemporalTransformer in blocks.py). LayerNorm, the
+        # projections, and the FF are per-token, so they commute with the
+        # transpose: only the temporal attention cores see the frame axis,
+        # via their own head folds (TemporalCrossAttention.frame_split).
         dt = x.dtype
-        # spatial self attention
-        xs = spatial(x)
+        xs = x.reshape(b * t, h * w, c)
         xs = B.CrossAttention(
             query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             policy=p, name="attn1",
         )(ln("norm1")(xs).astype(dt)) + xs
-        x = unspatial(xs)
 
-        # temporal self attention (relative position)
-        xt = temporal(x)
-        xt = TemporalCrossAttention(
+        xs = TemporalCrossAttention(
             query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             temporal_length=self.temporal_length,
             use_relative_position=self.use_relative_position,
-            policy=p, name="attn1_tmp",
-        )(ln("norm4")(xt).astype(dt)) + xt
-        x = untemporal(xt)
+            frame_split=t, policy=p, name="attn1_tmp",
+        )(ln("norm4")(xs).astype(dt)) + xs
 
         # spatial cross attention. The reference repeats context per frame
         # (attention_temporal.py:317-324); here the un-repeated (B, L, D)
         # context goes straight in — CrossAttention detects the smaller
         # context batch, projects k/v once per sample, and merges the
         # frame axis into the query rows (free reshape, identical math).
-        xs = spatial(x)
         xs = B.CrossAttention(
             query_dim=self.dim, context_dim=self.context_dim,
             heads=self.heads, dim_head=self.dim_head, policy=p, name="attn2",
         )(ln("norm2")(xs).astype(dt), context=context) + xs
-        x = unspatial(xs)
 
-        # temporal "cross" (self) attention
-        xt = temporal(x)
-        xt = TemporalCrossAttention(
+        xs = TemporalCrossAttention(
             query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             temporal_length=self.temporal_length,
             use_relative_position=self.use_relative_position,
-            policy=p, name="attn2_tmp",
-        )(ln("norm5")(xt).astype(dt)) + xt
+            frame_split=t, policy=p, name="attn2_tmp",
+        )(ln("norm5")(xs).astype(dt)) + xs
 
-        # feedforward (still in temporal token layout, matching reference)
-        xt = B.GEGLUFeedForward(dim=self.dim, policy=p, name="ff")(
-            ln("norm3")(xt).astype(dt)
-        ) + xt
-        return untemporal(xt)
+        xs = B.GEGLUFeedForward(dim=self.dim, policy=p, name="ff")(
+            ln("norm3")(xs).astype(dt)
+        ) + xs
+        return xs.reshape(b, t, h, w, c)
 
 
 class SpatialTemporalTransformer(nn.Module):
