@@ -100,6 +100,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fp32", action="store_true", help="fp32 weights (default bf16)")
     p.add_argument("--tiny", action="store_true", help="tiny random-weight model (smoke test, no checkpoints)")
     p.add_argument("--dp-shards", type=int, default=1, help="data-parallel sampling across devices")
+    p.add_argument("--tp-shards", type=int, default=1,
+                   help="tensor-parallel UNet sharding (Megatron attention/MLP split) — one video over many chips")
+    p.add_argument("--sp-shards", type=int, default=1,
+                   help="shard the frame axis across devices (long videos)")
     p.add_argument("--profile", help="write a jax profiler trace to this dir")
     # server mode
     p.add_argument("--serve", action="store_true", help="run the WebAPI instead")
@@ -221,7 +225,8 @@ def main(argv=None) -> int:
     result = run(
         args, out_args, pipe=pipe, outdir=ns.outdir,
         adapter_ckpt=ns.adapter_ckpt, adapter_video=ns.adapter_video,
-        dp_shards=ns.dp_shards, deep_cache_interval=ns.deep_cache,
+        dp_shards=ns.dp_shards, tp_shards=ns.tp_shards, sp_shards=ns.sp_shards,
+        deep_cache_interval=ns.deep_cache,
         keep_in_vram=not ns.no_keep_in_vram, inpaint_mode=ns.inpaint_mode,
         vc_sample_type=ns.vc_sample_type, vc_uc_type=ns.uc_type,
     )

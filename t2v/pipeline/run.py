@@ -90,6 +90,8 @@ def run(
     adapter_ckpt: Optional[str] = None,
     adapter_video: Optional[str] = None,
     dp_shards: int = 1,
+    tp_shards: int = 1,
+    sp_shards: int = 1,
     deep_cache_interval: int = 1,
     keep_in_vram: bool = True,
     inpaint_mode: str = "initial_only",
@@ -111,7 +113,8 @@ def run(
                 save_frames=save_frames, callback_interval=callback_interval,
                 error_video_on_failure=False,
                 adapter_ckpt=adapter_ckpt, adapter_video=adapter_video,
-                dp_shards=dp_shards, deep_cache_interval=deep_cache_interval,
+                dp_shards=dp_shards, tp_shards=tp_shards, sp_shards=sp_shards,
+                deep_cache_interval=deep_cache_interval,
                 keep_in_vram=keep_in_vram, inpaint_mode=inpaint_mode,
                 vc_sample_type=vc_sample_type, vc_uc_type=vc_uc_type,
             )
@@ -194,23 +197,28 @@ def run(
 
     resolved_seed = rng_lib.resolve_seed(args.seed)
 
-    # Data-parallel batch sampling (reference DDP path, §5.8): all
-    # batch_count samples in one mesh-sharded computation. txt2vid only —
-    # vid2vid/inpainting keep the serial per-batch loop.
+    # Mesh-sharded sampling (beyond the reference's DDP, §5.8 + SURVEY §7):
+    # all batch_count samples in one computation over a dp×sp×tp mesh.
+    #   dp — sample/batch parallel (the reference's DDP semantics);
+    #   sp — the FRAME axis sharded (long-context videos, §5.7);
+    #   tp — Megatron tensor parallelism over attention/MLP features
+    #        (t2v/parallel/sharding.py) so ONE video can use many chips.
+    # txt2vid only — vid2vid/inpainting keep the serial per-batch loop.
     # eta > 0 is allowed: each sample draws distinct per-step noise inside
     # the batched scan, but the draws use a shared stream rather than the
     # serial path's per-batch keys — DP==serial bit-parity holds only for
     # eta == 0 (the reference's DDP made no reproducibility promise at all,
     # sample_text2video.py:174-188)
     if (
-        dp_shards > 1
-        and args.batch_count > 1
+        (dp_shards > 1 or tp_shards > 1 or sp_shards > 1)
+        and (args.batch_count > 1 or dp_shards == 1)
         and not is_vid2vid
         and not (args.inpainting_frames > 0 and args.inpainting_image)
     ):
         return _run_dp(
             pipe, args, out_args, outdir, resolved_seed, timestring,
-            save_frames, dp_shards, features_adapter, job_state,
+            save_frames, dp_shards, tp_shards, sp_shards, features_adapter,
+            job_state,
         )
 
     for batch in range(args.batch_count):
@@ -399,13 +407,15 @@ def _emit_batch(
 
 def _run_dp(
     pipe, args, out_args, outdir, resolved_seed, timestring, save_frames,
-    dp_shards, features_adapter, job_state=None,
+    dp_shards, tp_shards, sp_shards, features_adapter, job_state=None,
 ) -> RunResult:
-    """All batch_count samples in one dp-sharded computation
-    (t2v/parallel/dp_sample.py; reference DDP semantics). The sampling is
-    ONE device computation, so interrupt granularity is coarser than the
-    serial loop: progress updates on completion, and interrupt/skip is
-    honoured between the per-sample decodes."""
+    """All batch_count samples in one mesh-sharded computation
+    (t2v/parallel/dp_sample.py; dp = reference DDP semantics, sp = frame
+    sharding, tp = Megatron feature sharding of the UNet transformers via
+    t2v/parallel/sharding.py — XLA inserts the per-block all-reduce). The
+    sampling is ONE device computation, so interrupt granularity is
+    coarser than the serial loop: progress updates on completion, and
+    interrupt/skip is honoured between the per-sample decodes."""
     from t2v.parallel.dp_sample import dp_sample
     from t2v.parallel.mesh import MeshConfig, make_mesh
 
@@ -415,8 +425,12 @@ def _run_dp(
     if job_state is not None:
         job_state.begin_job(0, n, args.steps)
     mesh = None
-    if dp_shards > 1 and len(jax.devices()) >= dp_shards:
-        mesh = make_mesh(MeshConfig(dp=dp_shards), jax.devices()[:dp_shards])
+    total = dp_shards * tp_shards * sp_shards
+    if total > 1 and len(jax.devices()) >= total:
+        mesh = make_mesh(
+            MeshConfig(dp=dp_shards, sp=sp_shards, tp=tp_shards),
+            jax.devices()[:total],
+        )
 
     ss_host = args.height // _latent_scale(pipe)
     sample_shape = (args.frames, ss_host, args.width // _latent_scale(pipe), 4)
@@ -434,7 +448,8 @@ def _run_dp(
 
     is_ms = isinstance(pipe, ModelScopePipeline)
     static = ("dp", n, args.steps, sample_shape, sampler,
-              float(args.cfg_scale), float(args.eta), dp_shards)
+              float(args.cfg_scale), float(args.eta),
+              dp_shards, tp_shards, sp_shards)
     fn = pipe._sample_cache.get(static)
     if fn is None:
         unet = pipe.unet
@@ -463,6 +478,7 @@ def _run_dp(
                 sample_shape=sample_shape, n_samples=n, cond=cond,
                 uncond=uncond, guidance_scale=args.cfg_scale, eta=args.eta,
                 sampler_name=sampler, mesh=mesh, noise=noise,
+                shard_frames=sp_shards > 1,
                 parameterization=(
                     pipe.unet_cfg if is_ms else pipe.cfg
                 ).parameterization,
@@ -473,13 +489,21 @@ def _run_dp(
     from t2v.parallel.dp_sample import batched_noise, dp_spec
 
     noise = batched_noise(resolved_seed, n, sample_shape)
+    unet_params = pipe.unet_params
     if mesh is not None:
         from jax.sharding import NamedSharding
 
         noise = jax.device_put(
-            noise, NamedSharding(mesh, dp_spec(mesh, n, sample_shape))
+            noise,
+            NamedSharding(
+                mesh, dp_spec(mesh, n, sample_shape, shard_frames=sp_shards > 1)
+            ),
         )
-    x0 = fn(pipe.unet_params, cond, uncond, noise)
+        if tp_shards > 1:
+            from t2v.parallel.sharding import shard_params
+
+            unet_params = shard_params(unet_params, mesh)
+    x0 = fn(unet_params, cond, uncond, noise)
     x0.block_until_ready()
     if job_state is not None:
         job_state.sampling_step = args.steps
