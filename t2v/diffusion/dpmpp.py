@@ -1,0 +1,112 @@
+"""DPM-Solver++(2M) — multistep second-order ODE sampler (data prediction).
+
+Beyond-reference addition (the reference ships DDIM_Gaussian / DDIM /
+UniPC, samplers_common.py:89-93): DPM-Solver++ (Lu et al. 2022,
+arXiv:2211.01095) is the de-facto fast sampler in SD tooling — ~2x fewer
+steps than DDIM at matched quality. The 2M variant is a pure two-step
+linear multistep in half-logSNR space, which makes it a single
+homogeneous ``lax.scan`` here (carry = (x, previous x0-prediction)) —
+no warmup/tail segmentation like UniPC's order-3 machinery.
+
+Update rule, stepping rung i -> i+1 with h_i = lam_{i+1} - lam_i > 0:
+    D_i    = x0-prediction at rung i
+    Dbar_0 = D_0                                   (first step: 1st order)
+    Dbar_i = (1 + 1/(2 r_i)) D_i - 1/(2 r_i) D_{i-1},  r_i = h_{i-1}/h_i
+    x_{i+1} = (sigma_{i+1}/sigma_i) x_i + alpha_{i+1} (1 - e^{-h_i}) Dbar_i
+
+Continuous-time marginals follow the UniPC module's conventions
+(t2v/diffusion/unipc.py: linspace rungs, interpolated discrete schedule),
+so ``sampling._unipc_model_fn`` provides the x0-prediction wrapper for
+eps/v/x0 model parameterizations unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t2v.diffusion.schedules import DiffusionSchedule
+from t2v.diffusion.unipc import _discrete_marginals
+
+NAME = "DPM++ 2M"
+FRAME_INPAINT_SUPPORT = False
+CFG_COMBINE = "full"
+
+
+@dataclass(frozen=True)
+class Plan:
+    """Rungs 0..steps (float64 host tables); model evals at rungs
+    0..steps-1. ``alpha``/``sigma``/``t_input`` are length steps+1 for
+    duck-compatibility with ``sampling._unipc_model_fn``."""
+
+    t_input: np.ndarray  # model input times per rung
+    alpha: np.ndarray  # marginal alpha_t per rung
+    sigma: np.ndarray  # marginal sigma_t per rung
+    sig_ratio: np.ndarray  # (steps,) sigma_{i+1}/sigma_i
+    growth: np.ndarray  # (steps,) alpha_{i+1} * (1 - exp(-h_i))
+    c_cur: np.ndarray  # (steps,) Dbar weight on D_i
+    c_prev: np.ndarray  # (steps,) Dbar weight on D_{i-1}
+    steps: int
+
+
+def plan(schedule: DiffusionSchedule, steps: int, t_start: float | None = None) -> Plan:
+    N = schedule.num_timesteps
+    t_0 = 1.0 / N
+    t_T = 1.0 if t_start is None else float(t_start)
+    t_cont = np.linspace(t_T, t_0, steps + 1)
+    _, alpha, sigma, lam = _discrete_marginals(schedule, t_cont)
+
+    h = lam[1:] - lam[:-1]  # (steps,) > 0
+    sig_ratio = sigma[1:] / sigma[:-1]
+    growth = alpha[1:] * (1.0 - np.exp(-h))
+    # multistep combination weights; step 0 falls back to first order
+    c_cur = np.ones(steps)
+    c_prev = np.zeros(steps)
+    if steps > 1:
+        r = h[:-1] / h[1:]  # r_i = h_{i-1}/h_i for i >= 1
+        c_cur[1:] = 1.0 + 1.0 / (2.0 * r)
+        c_prev[1:] = -1.0 / (2.0 * r)
+    return Plan(
+        t_input=(t_cont - 1.0 / N) * N,
+        alpha=alpha,
+        sigma=sigma,
+        sig_ratio=sig_ratio,
+        growth=growth,
+        c_cur=c_cur,
+        c_prev=c_prev,
+        steps=steps,
+    )
+
+
+def encode_vid2vid(schedule: DiffusionSchedule, latent, noise, strength: float, steps: int):
+    """q-sample at t=strength — same entry semantics as UniPC's
+    (sampler.py:20-29)."""
+    p = plan(schedule, steps, t_start=strength)
+    a0, s0 = float(p.alpha[0]), float(p.sigma[0])
+    return a0 * latent + s0 * noise
+
+
+def sample(x, model_fn, p: Plan):
+    """Run the full 2M loop: one homogeneous scan over the steps.
+
+    model_fn(x, t_input, s) -> x0 ("data") prediction at rung s — the
+    ``sampling._unipc_model_fn`` contract.
+    """
+    t_in = jnp.asarray(p.t_input, jnp.float32)
+    sig_ratio = jnp.asarray(p.sig_ratio, jnp.float32)
+    growth = jnp.asarray(p.growth, jnp.float32)
+    c_cur = jnp.asarray(p.c_cur, jnp.float32)
+    c_prev = jnp.asarray(p.c_prev, jnp.float32)
+
+    def body(carry, i):
+        xc, d_prev = carry
+        d = model_fn(xc, t_in[i], i)
+        d_bar = c_cur[i] * d + c_prev[i] * d_prev
+        xc = sig_ratio[i] * xc + growth[i] * d_bar
+        return (xc, d), None
+
+    (x, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), jnp.arange(p.steps))
+    return x

@@ -31,6 +31,7 @@ import numpy as np
 from t2v.core import rng as rng_lib
 from t2v.diffusion import ddim as ddim_mod
 from t2v.diffusion import ddim_gaussian as gaussian_mod
+from t2v.diffusion import dpmpp as dpmpp_mod
 from t2v.diffusion import unipc as unipc_mod
 from t2v.diffusion.schedules import DiffusionSchedule
 
@@ -46,6 +47,8 @@ available_samplers: tuple[SamplerSpec, ...] = (
     SamplerSpec("DDIM_Gaussian", gaussian_mod, True),
     SamplerSpec("DDIM", ddim_mod, False),
     SamplerSpec("UniPC", unipc_mod, False),
+    # beyond-reference: second-order multistep ODE sampler (dpmpp.py)
+    SamplerSpec("DPM++ 2M", dpmpp_mod, False),
 )
 
 
@@ -238,8 +241,8 @@ def sample_loop(
     if noise is None:
         noise = rng_lib.latent_noise(key, shape, dtype)
 
-    if mod is unipc_mod:
-        # UniPC has its own multistep loop; start-state logic below
+    if mod in (unipc_mod, dpmpp_mod):
+        # multistep samplers carry model-output history; own loops
         if latents is not None and is_vid2vid:
             x = mod.encode_vid2vid(schedule, latents, noise, strength, steps)
         elif latents is not None:
@@ -248,12 +251,12 @@ def sample_loop(
             x = noise
         x = x.astype(jnp.float32)
         t_start = strength if (is_vid2vid and strength is not None) else None
-        p = unipc_mod.plan(schedule, steps, t_start=t_start)
+        p = mod.plan(schedule, steps, t_start=t_start)
         model_fn = _unipc_model_fn(
             apply_fn, cond, uncond, guidance_scale, p,
             parameterization=parameterization,
         )
-        out = unipc_mod.sample(x, model_fn, p)
+        out = mod.sample(x, model_fn, p)
         if callback is not None:
             callback(steps)  # terminal progress like the other samplers
         return out
@@ -423,8 +426,8 @@ def plan_and_start(
     ``run_window`` (e.g. jitted windows with params as a real argument)."""
     spec = get_sampler(sampler_name)
     mod = spec.module
-    if mod is unipc_mod:
-        raise ValueError("windowed execution does not support UniPC")
+    if mod in (unipc_mod, dpmpp_mod):
+        raise ValueError(f"windowed execution does not support {mod.NAME}")
     if key is None:
         key = rng_lib.key_for_seed(0)
     if noise is None:

@@ -452,7 +452,12 @@ class ModelScopePipeline:
             )
             return InferResult(frames=list(frames), latents=x0, infotext=infotext)
 
-        if callback is None or callback_interval is None:
+        if (
+            callback is None
+            or callback_interval is None
+            or args.sampler == "DPM++ 2M"  # multistep carry — no windowed
+            # execution (terminal progress callback, like UniPC vid2vid)
+        ):
             # whole-loop jit with params as a REAL argument: embedding the
             # 1.7B-param tree as jaxpr constants overflows the compile
             # transport and re-uploads weights per executable
@@ -485,6 +490,8 @@ class ModelScopePipeline:
                 self.unet_params, key, conditioning.cond, conditioning.uncond,
                 latents, mask, image_latents,
             )
+            if callback is not None:
+                callback(steps)
         elif args.sampler == "UniPC":
             x0 = self._infer_unipc(
                 steps, shape, args, key, conditioning, latents, mask,

@@ -156,8 +156,76 @@ class TestUniPCPlan:
         assert np.allclose(R1 @ rhos_c, [b1, *(R1 @ rhos_c)[1:]])
 
 
+class TestDPMpp2M:
+    """DPM-Solver++(2M) (t2v/diffusion/dpmpp.py) vs an independent NumPy
+    re-derivation of the multistep update (arXiv:2211.01095 eq. 4.3)."""
+
+    def test_numpy_parity(self):
+        from t2v.diffusion import dpmpp as dpmpp_mod
+        from t2v.diffusion.sampling import _unipc_model_fn
+
+        steps = 9
+        p = dpmpp_mod.plan(SCHED, steps)
+        cond = jnp.zeros((1, 7, 8))
+        key = rng_lib.key_for_seed(11)
+        x0 = rng_lib.latent_noise(key, SHAPE, jnp.float32)
+        model_fn = _unipc_model_fn(identity_eps_model, cond, None, 1.0, p)
+        got = np.asarray(dpmpp_mod.sample(x0, model_fn, p))
+
+        # independent loop: recompute marginals from the plan's rung times
+        # and apply the textbook recursion with plain float64 numpy
+        alpha = np.asarray(p.alpha)
+        sigma = np.asarray(p.sigma)
+        lam = np.log(alpha) - np.log(sigma)
+        x = np.asarray(x0, np.float64)
+        d_prev = None
+        for i in range(steps):
+            eps = 0.1 * x  # identity_eps_model
+            d = (x - sigma[i] * eps) / alpha[i]
+            h = lam[i + 1] - lam[i]
+            if d_prev is None:
+                d_bar = d
+            else:
+                r = (lam[i] - lam[i - 1]) / h
+                d_bar = (1 + 1 / (2 * r)) * d - (1 / (2 * r)) * d_prev
+            x = (sigma[i + 1] / sigma[i]) * x + alpha[i + 1] * (
+                1 - np.exp(-h)
+            ) * d_bar
+            d_prev = d
+        np.testing.assert_allclose(got, x, rtol=2e-4, atol=2e-5)
+
+    def test_second_order_beats_ddim_at_equal_steps(self):
+        """Against a near-exact reference (DDIM at 400 steps), DPM++ 2M at
+        12 steps must land closer than DDIM at 12 steps — the practical
+        claim of the sampler."""
+        key = rng_lib.key_for_seed(4)
+        cond = jnp.zeros((1, 7, 8))
+        noise = rng_lib.latent_noise(key, SHAPE, jnp.float32)
+        kw = dict(shape=SHAPE, cond=cond, key=key, noise=noise)
+        truth = np.asarray(sample_loop(
+            identity_eps_model, SCHED, steps=400, sampler_name="DDIM", **kw
+        ))
+        ddim12 = np.asarray(sample_loop(
+            identity_eps_model, SCHED, steps=12, sampler_name="DDIM", **kw
+        ))
+        dpm12 = np.asarray(sample_loop(
+            identity_eps_model, SCHED, steps=12, sampler_name="DPM++ 2M", **kw
+        ))
+        err_ddim = np.abs(ddim12 - truth).mean()
+        err_dpm = np.abs(dpm12 - truth).mean()
+        assert err_dpm < err_ddim, (err_dpm, err_ddim)
+
+    def test_first_step_is_first_order(self):
+        from t2v.diffusion import dpmpp as dpmpp_mod
+
+        p = dpmpp_mod.plan(SCHED, 6)
+        assert p.c_cur[0] == 1.0 and p.c_prev[0] == 0.0
+        # weights always sum to 1 (consistency of the multistep combo)
+        np.testing.assert_allclose(p.c_cur + p.c_prev, 1.0, rtol=1e-12)
+
+
 class TestSampleLoopEndToEnd:
-    @pytest.mark.parametrize("name", ["DDIM_Gaussian", "DDIM", "UniPC"])
+    @pytest.mark.parametrize("name", ["DDIM_Gaussian", "DDIM", "UniPC", "DPM++ 2M"])
     def test_runs_and_deterministic(self, name):
         key = rng_lib.key_for_seed(7)
         cond = jnp.zeros((1, 7, 8))
@@ -203,7 +271,7 @@ class TestSampleLoopEndToEnd:
         key = rng_lib.key_for_seed(5)
         cond = jnp.zeros((1, 7, 8))
         latents = jnp.ones(SHAPE) * 0.3
-        for name in ["DDIM_Gaussian", "DDIM", "UniPC"]:
+        for name in ["DDIM_Gaussian", "DDIM", "UniPC", "DPM++ 2M"]:
             out = sample_loop(
                 identity_eps_model, SCHED, steps=8, shape=SHAPE, cond=cond,
                 sampler_name=name, key=key, latents=latents,
