@@ -6,6 +6,10 @@ result videos from the returned data URLs. No external assets, no gradio —
 served by both the FastAPI app and the stdlib fallback server.
 """
 
+from t2v.core.config import SAMPLER_NAMES
+
+_SAMPLER_OPTIONS = "".join(f"<option>{n}</option>" for n in SAMPLER_NAMES)
+
 INDEX_HTML = """<!doctype html>
 <html>
 <head>
@@ -37,7 +41,7 @@ INDEX_HTML = """<!doctype html>
 </fieldset>
 <fieldset><legend>Settings</legend>
   <label>Model type</label><select id="model"><option value="&lt;modelscope&gt;">ModelScope</option><option value="&lt;videocrafter&gt;">VideoCrafter</option></select><br>
-  <label>Sampler</label><select id="sampler"><option>DDIM_Gaussian</option><option>DDIM</option><option>UniPC</option></select><br>
+  <label>Sampler</label><select id="sampler">__SAMPLER_OPTIONS__</select><br>
   <label>Steps</label><input id="steps" type="number" value="30"><br>
   <label>Frames</label><input id="frames" type="number" value="24"><br>
   <label>Width</label><input id="width" type="number" value="256" step="64">
@@ -111,4 +115,4 @@ $('meta_btn').onclick = async () => {
 </script>
 </body>
 </html>
-"""
+""".replace("__SAMPLER_OPTIONS__", _SAMPLER_OPTIONS)

@@ -25,8 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-type", default="ModelScope", choices=["ModelScope", "VideoCrafter"])
     p.add_argument("--prompt", default="")
     p.add_argument("--n-prompt", default="text, watermark, copyright, blurry, nsfw")
-    p.add_argument("--sampler", default="DDIM_Gaussian",
-                   choices=["DDIM_Gaussian", "DDIM", "UniPC", "DPM++ 2M"])
+    from t2v.core.config import SAMPLER_NAMES
+
+    p.add_argument("--sampler", default="DDIM_Gaussian", choices=list(SAMPLER_NAMES))
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--frames", type=int, default=24)
     p.add_argument("--seed", type=int, default=-1)

@@ -25,6 +25,12 @@ class Policy:
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype = jnp.float32
+    # attention backend override threaded to t2v.kernels.attention dispatch:
+    # None = auto (Pallas on TPU where profitable). Mesh-sharded execution
+    # sets "xla" — XLA's SPMD partitioner cannot partition Mosaic custom
+    # calls, so sharded q/k/v would be gathered full-size per shard; the
+    # plain dot-product path partitions cleanly with inserted collectives.
+    attention_backend: str | None = None
 
     @classmethod
     def bf16(cls) -> "Policy":

@@ -133,19 +133,32 @@ def self_attention_packed(
     )
 
 
+def _swap_frame_axis(t, f: int):
+    """Sample-major (B·F, N, D) → (B·N, F, D) (materialised transpose)."""
+    bf, n, d = t.shape
+    b = bf // f
+    return t.reshape(b, f, n, d).transpose(0, 2, 1, 3).reshape(b * n, f, d)
+
+
+def _unswap_frame_axis(t, n: int):
+    """(B·N, F, D) → sample-major (B·F, N, D) (materialised transpose)."""
+    bn, f, d = t.shape
+    b = bn // n
+    return t.reshape(b, n, f, d).transpose(0, 2, 1, 3).reshape(b * f, n, d)
+
+
 def _temporal_mha_ref(q, k, v, heads, f, scale):
     """XLA reference for fused_temporal_mha: materialise the frame<->token
     transpose, run folded self-attention across frames, transpose back.
     CPU path and recompute backward."""
-    bf, n, hd = q.shape
-    b = bf // f
-    swap = lambda t: t.reshape(b, f, n, hd).transpose(0, 2, 1, 3).reshape(
-        b * n, f, hd
+    n = q.shape[1]
+    return _unswap_frame_axis(
+        _self_mha_ref(
+            _swap_frame_axis(q, f), _swap_frame_axis(k, f),
+            _swap_frame_axis(v, f), heads, scale,
+        ),
+        n,
     )
-    unswap = lambda t: t.reshape(b, n, f, hd).transpose(0, 2, 1, 3).reshape(
-        bf, n, hd
-    )
-    return unswap(_self_mha_ref(swap(q), swap(k), swap(v), heads, scale))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -184,15 +197,12 @@ def temporal_attention_packed(
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if force is None and on_tpu and f < FLASH_MIN_KV and hd % heads == 0:
         return _fused_temporal_diff(q, k, v, heads, f, scale)
-    b = bf // f
-    swap = lambda t: t.reshape(b, f, n, hd).transpose(0, 2, 1, 3).reshape(
-        b * n, f, hd
-    )
-    unswap = lambda t: t.reshape(b, n, f, hd).transpose(0, 2, 1, 3).reshape(
-        bf, n, hd
-    )
-    return unswap(
-        self_attention_packed(swap(q), swap(k), swap(v), heads, scale, force)
+    return _unswap_frame_axis(
+        self_attention_packed(
+            _swap_frame_axis(q, f), _swap_frame_axis(k, f),
+            _swap_frame_axis(v, f), heads, scale, force,
+        ),
+        n,
     )
 
 

@@ -155,14 +155,8 @@ def fused_temporal_mha(
     b = bf // f
     if scale is None:
         scale = (hd // heads) ** -0.5
-    # spatial tokens per grid step; n = h·w is highly composite, so a
-    # divisor near the packing target always exists
-    cap = max(1, _TARGET_ROWS // f)
-    nb = 1
-    for d in range(min(cap, n), 0, -1):
-        if n % d == 0:
-            nb = d
-            break
+    # spatial tokens per grid step, packing nb·f rows near the target
+    nb = _largest_divisor(n, max(1, _TARGET_ROWS // f))
     return pl.pallas_call(
         functools.partial(
             _temporal_mha_kernel, heads=heads, scale=float(scale), f=f, nb=nb
@@ -204,12 +198,11 @@ def _cross_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
 _CROSS_TARGET_ROWS = 4096
 
 
-def _row_block(n: int) -> int:
-    """Largest divisor of ``n`` ≤ _CROSS_TARGET_ROWS (query rows are
-    (frames·tokens) products — highly composite; a divisor always exists
-    down to 1, so the wrapper never pads)."""
-    cap = min(n, _CROSS_TARGET_ROWS)
-    for d in range(cap, 0, -1):
+def _largest_divisor(n: int, cap: int) -> int:
+    """Largest divisor of ``n`` that is ≤ cap (≥ 1). Block-size selection
+    for grids over axes that are (frames·tokens) products — highly
+    composite, so a useful divisor always exists and wrappers never pad."""
+    for d in range(min(cap, n), 0, -1):
         if n % d == 0:
             return d
     return 1
@@ -236,7 +229,7 @@ def fused_cross_mha(
     s = k.shape[1]
     if scale is None:
         scale = (hd // heads) ** -0.5
-    rb = _row_block(n)
+    rb = _largest_divisor(n, _CROSS_TARGET_ROWS)
     return pl.pallas_call(
         functools.partial(_cross_mha_kernel, heads=heads, scale=float(scale)),
         grid=(b, n // rb),

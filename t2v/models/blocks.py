@@ -213,11 +213,16 @@ class CrossAttention(nn.Module):
                 # attend across the f frame rows without leaving the
                 # resident token layout — the Pallas kernel swaps inside
                 # its VMEM blocks, so no frame-minor HBM relayouts
-                out = _temporal_attention_packed(q, k, v, self.heads, ff)
+                out = _temporal_attention_packed(
+                    q, k, v, self.heads, ff,
+                    force=self.policy.attention_backend,
+                )
             else:
                 # self-attention: keep heads packed in the minor dim — the
                 # fused kernel path avoids the multihead fold transposes
-                out = _self_attention_packed(q, k, v, self.heads)
+                out = _self_attention_packed(
+                    q, k, v, self.heads, force=self.policy.attention_backend
+                )
         else:
             cb = k.shape[0]
             if cb != b:
@@ -228,10 +233,13 @@ class CrossAttention(nn.Module):
                 # one sample's whole video attends its single context.
                 f = b // cb
                 out = _cross_attention_packed(
-                    q.reshape(cb, f * n, inner), k, v, self.heads
+                    q.reshape(cb, f * n, inner), k, v, self.heads,
+                    force=self.policy.attention_backend,
                 ).reshape(b, n, inner)
             else:
-                out = _cross_attention_packed(q, k, v, self.heads)
+                out = _cross_attention_packed(
+                    q, k, v, self.heads, force=self.policy.attention_backend
+                )
         return _tokens_2d(dense(self.query_dim, "to_out"), out)
 
 

@@ -211,7 +211,6 @@ def run(
     # sample_text2video.py:174-188)
     if (
         (dp_shards > 1 or tp_shards > 1 or sp_shards > 1)
-        and (args.batch_count > 1 or dp_shards == 1)
         and not is_vid2vid
         and not (args.inpainting_frames > 0 and args.inpainting_image)
     ):
@@ -453,6 +452,15 @@ def _run_dp(
     fn = pipe._sample_cache.get(static)
     if fn is None:
         unet = pipe.unet
+        if mesh is not None:
+            # Mosaic custom calls can't be SPMD-partitioned — sharded
+            # q/k/v would be gathered full-size per shard. Force the
+            # plain-XLA attention path, which partitions cleanly.
+            import dataclasses as _dc
+
+            unet = unet.clone(
+                policy=_dc.replace(unet.policy, attention_backend="xla")
+            )
 
         def f(params, cond, uncond, noise):
             if is_ms:

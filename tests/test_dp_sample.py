@@ -110,21 +110,29 @@ class TestRunDP:
             prompt="a dog", n_prompt="bad", steps=3, frames=4,
             width=32, height=32, seed=5, batch_count=1, eta=0.0,
         )
-        res = run(
-            args, T2VOutputArgs(), pipe=pipe, outdir=str(tmp_path),
-            save_frames=False, tp_shards=2, sp_shards=2,
-        )
-        assert len(res.infotexts) == 1
-        res_serial = run(
-            args, T2VOutputArgs(), pipe=pipe, outdir=str(tmp_path / "s"),
-            save_frames=False,
-        )
-        assert res.infotexts == res_serial.infotexts
-        a = np.asarray(res.last_latents) if hasattr(res, "last_latents") else None
-        if a is not None and getattr(res_serial, "last_latents", None) is not None:
-            np.testing.assert_allclose(
-                a, np.asarray(res_serial.last_latents), atol=2e-4
+        # capture the latents handed to the decoder on each path
+        captured = []
+        orig_decode = pipe.decode_latents
+        pipe.decode_latents = lambda z: (captured.append(np.asarray(z)), orig_decode(z))[1]
+        try:
+            res = run(
+                args, T2VOutputArgs(), pipe=pipe, outdir=str(tmp_path),
+                save_frames=False, tp_shards=2, sp_shards=2,
             )
+            assert len(res.infotexts) == 1
+            res_serial = run(
+                args, T2VOutputArgs(), pipe=pipe, outdir=str(tmp_path / "s"),
+                save_frames=False,
+            )
+        finally:
+            pipe.decode_latents = orig_decode
+        assert res.infotexts == res_serial.infotexts
+        assert len(captured) == 2
+        sharded_lat, serial_lat = captured
+        np.testing.assert_allclose(
+            sharded_lat.squeeze(), serial_lat.squeeze(), atol=2e-4,
+            err_msg="tp x sp sharded latents diverge from the serial path",
+        )
 
     def test_run_dp_with_eta(self, tmp_path):
         """eta > 0 must route through the DP path (the reference's DDP had
