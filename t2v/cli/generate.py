@@ -56,7 +56,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lora-alpha", type=float, default=1.0)
 
     p.add_argument(
-        "--vc-sample-type", default="ddim", choices=["ddim", "ddpm"],
+        "--vc-sample-type", default="ddim", choices=["ddim", "ddpm", "dpm++ 2m"],
         help="VideoCrafter denoising chain (sample_utils.py:56-87)",
     )
     p.add_argument(

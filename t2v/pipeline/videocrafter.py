@@ -387,6 +387,19 @@ class VideoCrafterPipeline:
 
         apply_fn = self.make_apply_fn(features_adapter=features_adapter)
 
+        # sampler selection: "ddim" | "ddpm" mirror the reference
+        # (sample_utils.py:56-87); "dpm++ 2m" is the beyond-reference
+        # multistep sampler (t2v/diffusion/dpmpp.py) — txt2vid only
+        # (its carry-based loop takes no mask blend or uc_type override).
+        if sample_type not in ("ddim", "ddpm", "dpm++ 2m"):
+            raise ValueError(f"unknown sample_type {sample_type!r}")
+        sampler_name = "DPM++ 2M" if sample_type == "dpm++ 2m" else "DDIM"
+        if sample_type == "dpm++ 2m" and (mask is not None or uc_type):
+            raise ValueError(
+                "sample_type='dpm++ 2m' does not support mask inpainting "
+                "or uc_type CFG variants — use 'ddim'"
+            )
+
         t0 = time.perf_counter()
         if sample_type == "ddpm":
             from t2v.diffusion import ddpm as ddpm_mod
@@ -399,12 +412,17 @@ class VideoCrafterPipeline:
             )
             noise = rng_lib.latent_noise(key, shape)
             x0 = ddpm_mod.sample(eps_fn, self.schedule, noise, key)
-        elif callback is None or callback_interval is None:
+        elif (
+            callback is None
+            or callback_interval is None
+            or sampler_name != "DDIM"  # multistep carry does not window
+        ):
             # whole-loop jit, params as a real argument (avoids embedding
             # the weights as jaxpr constants — see ModelScopePipeline.infer)
             static = (
                 args.steps, shape, float(args.cfg_scale), float(args.eta),
                 mask is not None, uc_type, features_adapter is not None,
+                sampler_name,
             )
             fn = self._sample_cache.get(static)
             if fn is None:
@@ -429,7 +447,7 @@ class VideoCrafterPipeline:
                         apply, self.schedule, steps=args.steps, shape=shape,
                         cond=cond, uncond=uncond,
                         guidance_scale=args.cfg_scale, eta=args.eta,
-                        sampler_name="DDIM", key=key, mask=mask,
+                        sampler_name=sampler_name, key=key, mask=mask,
                         image_latents=source_latents, inpaint_mode=inpaint,
                         cfg_combine_mode=uc_type,
                         parameterization=self.cfg.parameterization,

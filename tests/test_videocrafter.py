@@ -230,6 +230,12 @@ class TestVCEndToEnd:
         ddpm = frames_of(base_args, "ddpm", vc_sample_type="ddpm")
         assert ddpm.shape == plain.shape
 
+        dpm = frames_of(base_args, "dpm", vc_sample_type="dpm++ 2m")
+        assert dpm.shape == plain.shape
+        # unsupported combos fail loudly rather than silently ignoring flags
+        with pytest.raises(Exception):
+            pipe.infer(base_args, sample_type="dpm++ 2m", uc_type="cfg_ours")
+
         inpaint_args = base_args.replace(
             inpainting_image=img_path, inpainting_frames=2
         )
