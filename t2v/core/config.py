@@ -154,7 +154,9 @@ class CLIPTextConfig:
 # Sampler names are part of the public surface
 # (reference samplers_common.py:89-93); "DPM++ 2M" is a beyond-reference
 # addition (t2v/diffusion/dpmpp.py).
-SAMPLER_NAMES: tuple[str, ...] = ("DDIM_Gaussian", "DDIM", "UniPC", "DPM++ 2M")
+SAMPLER_NAMES: tuple[str, ...] = (
+    "DDIM_Gaussian", "DDIM", "UniPC", "DPM++ 2M", "DPM++ 2M Karras",
+)
 
 
 @dataclass

@@ -34,6 +34,7 @@ from t2v.diffusion.unipc import _discrete_marginals
 NAME = "DPM++ 2M"
 FRAME_INPAINT_SUPPORT = False
 CFG_COMBINE = "full"
+MULTISTEP = True  # carries model-output history — own loop, no windowing
 
 
 @dataclass(frozen=True)
@@ -52,11 +53,40 @@ class Plan:
     steps: int
 
 
-def plan(schedule: DiffusionSchedule, steps: int, t_start: float | None = None) -> Plan:
+def _karras_rungs(
+    schedule: DiffusionSchedule, steps: int, t_T: float, t_0: float, rho: float = 7.0
+) -> np.ndarray:
+    """Karras et al. 2022 (arXiv:2206.00364 eq. 5) node spacing, expressed
+    on the VP noise-to-signal ratio sigma/alpha = exp(-lambda): rho-7
+    interpolation between the endpoint ratios, mapped back to continuous
+    time by inverting the discrete schedule's lambda(t). Concentrates
+    rungs at low noise, where the 2M update benefits most."""
+    _, _, _, lam_ends = _discrete_marginals(schedule, np.array([t_T, t_0]))
+    nsr = np.exp(-lam_ends)  # (at t_T, at t_0): max, min
+    u = np.linspace(0.0, 1.0, steps + 1)
+    ramp = (nsr[0] ** (1 / rho) + u * (nsr[1] ** (1 / rho) - nsr[0] ** (1 / rho))) ** rho
+    lam_target = -np.log(ramp)
+    # invert lambda(t): sample lambda on a fine t grid — lambda is
+    # monotone DECREASING in t, and np.interp needs ascending xp, so
+    # interpolate over the reversed grid
+    t_grid = np.linspace(t_0, t_T, 4096)
+    _, _, _, lam_grid = _discrete_marginals(schedule, t_grid)
+    return np.interp(lam_target, lam_grid[::-1], t_grid[::-1])
+
+
+def plan(
+    schedule: DiffusionSchedule,
+    steps: int,
+    t_start: float | None = None,
+    node_schedule: str = "uniform",
+) -> Plan:
     N = schedule.num_timesteps
     t_0 = 1.0 / N
     t_T = 1.0 if t_start is None else float(t_start)
-    t_cont = np.linspace(t_T, t_0, steps + 1)
+    if node_schedule == "karras":
+        t_cont = _karras_rungs(schedule, steps, t_T, t_0)
+    else:
+        t_cont = np.linspace(t_T, t_0, steps + 1)
     _, alpha, sigma, lam = _discrete_marginals(schedule, t_cont)
 
     h = lam[1:] - lam[:-1]  # (steps,) > 0
@@ -110,3 +140,27 @@ def sample(x, model_fn, p: Plan):
 
     (x, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), jnp.arange(p.steps))
     return x
+
+
+class _KarrasVariant:
+    """Registry adapter: same 2M solver over Karras rho-7 node spacing
+    ("DPM++ 2M Karras", the standard pairing in SD tooling)."""
+
+    NAME = "DPM++ 2M Karras"
+    FRAME_INPAINT_SUPPORT = False
+    CFG_COMBINE = "full"
+    MULTISTEP = True
+    Plan = Plan
+    sample = staticmethod(sample)
+
+    @staticmethod
+    def plan(schedule, steps, t_start=None):
+        return plan(schedule, steps, t_start, node_schedule="karras")
+
+    @staticmethod
+    def encode_vid2vid(schedule, latent, noise, strength, steps):
+        p = plan(schedule, steps, t_start=strength, node_schedule="karras")
+        return float(p.alpha[0]) * latent + float(p.sigma[0]) * noise
+
+
+karras = _KarrasVariant()

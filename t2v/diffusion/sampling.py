@@ -47,8 +47,10 @@ available_samplers: tuple[SamplerSpec, ...] = (
     SamplerSpec("DDIM_Gaussian", gaussian_mod, True),
     SamplerSpec("DDIM", ddim_mod, False),
     SamplerSpec("UniPC", unipc_mod, False),
-    # beyond-reference: second-order multistep ODE sampler (dpmpp.py)
+    # beyond-reference: second-order multistep ODE sampler (dpmpp.py),
+    # uniform and Karras rho-7 node spacings
     SamplerSpec("DPM++ 2M", dpmpp_mod, False),
+    SamplerSpec("DPM++ 2M Karras", dpmpp_mod.karras, False),
 )
 
 
@@ -241,7 +243,7 @@ def sample_loop(
     if noise is None:
         noise = rng_lib.latent_noise(key, shape, dtype)
 
-    if mod in (unipc_mod, dpmpp_mod):
+    if getattr(mod, "MULTISTEP", False):
         # multistep samplers carry model-output history; own loops
         if latents is not None and is_vid2vid:
             x = mod.encode_vid2vid(schedule, latents, noise, strength, steps)
@@ -426,7 +428,7 @@ def plan_and_start(
     ``run_window`` (e.g. jitted windows with params as a real argument)."""
     spec = get_sampler(sampler_name)
     mod = spec.module
-    if mod in (unipc_mod, dpmpp_mod):
+    if getattr(mod, "MULTISTEP", False):
         raise ValueError(f"windowed execution does not support {mod.NAME}")
     if key is None:
         key = rng_lib.key_for_seed(0)

@@ -33,6 +33,7 @@ from t2v.diffusion.schedules import DiffusionSchedule
 NAME = "UniPC"
 FRAME_INPAINT_SUPPORT = False
 CFG_COMBINE = "full"
+MULTISTEP = True  # carries model-output history — own loop (sample())
 
 ORDER = 3
 VARIANT = "bh1"

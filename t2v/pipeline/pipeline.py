@@ -455,7 +455,7 @@ class ModelScopePipeline:
         if (
             callback is None
             or callback_interval is None
-            or args.sampler == "DPM++ 2M"  # multistep carry — no windowed
+            or args.sampler.startswith("DPM++")  # multistep carry — no windowed
             # execution (terminal progress callback, like UniPC vid2vid)
         ):
             # whole-loop jit with params as a REAL argument: embedding the

@@ -223,9 +223,57 @@ class TestDPMpp2M:
         # weights always sum to 1 (consistency of the multistep combo)
         np.testing.assert_allclose(p.c_cur + p.c_prev, 1.0, rtol=1e-12)
 
+    def test_karras_rungs(self):
+        """Karras spacing: same endpoints as uniform, monotone noise decay,
+        rho-7 ramp exact on the noise-to-signal ratios."""
+        from t2v.diffusion import dpmpp as dpmpp_mod
+
+        steps = 10
+        pu = dpmpp_mod.plan(SCHED, steps)
+        pk = dpmpp_mod.plan(SCHED, steps, node_schedule="karras")
+        nsr_u = np.asarray(pu.sigma) / np.asarray(pu.alpha)
+        nsr_k = np.asarray(pk.sigma) / np.asarray(pk.alpha)
+        np.testing.assert_allclose(nsr_k[0], nsr_u[0], rtol=1e-3)
+        np.testing.assert_allclose(nsr_k[-1], nsr_u[-1], rtol=1e-3)
+        assert (np.diff(nsr_k) < 0).all()  # strictly decaying noise
+        rho = 7.0
+        u = np.linspace(0, 1, steps + 1)
+        want = (
+            nsr_k[0] ** (1 / rho) + u * (nsr_k[-1] ** (1 / rho) - nsr_k[0] ** (1 / rho))
+        ) ** rho
+        np.testing.assert_allclose(nsr_k, want, rtol=2e-3)
+
+    def test_karras_numpy_parity(self):
+        """The 2M recursion over the Karras plan must match the same
+        independent NumPy loop (tables differ, solver identical)."""
+        from t2v.diffusion import dpmpp as dpmpp_mod
+        from t2v.diffusion.sampling import _unipc_model_fn
+
+        steps = 7
+        p = dpmpp_mod.karras.plan(SCHED, steps)
+        cond = jnp.zeros((1, 7, 8))
+        x0 = rng_lib.latent_noise(rng_lib.key_for_seed(2), SHAPE, jnp.float32)
+        model_fn = _unipc_model_fn(identity_eps_model, cond, None, 1.0, p)
+        got = np.asarray(dpmpp_mod.sample(x0, model_fn, p))
+        alpha, sigma = np.asarray(p.alpha), np.asarray(p.sigma)
+        lam = np.log(alpha) - np.log(sigma)
+        x = np.asarray(x0, np.float64)
+        d_prev = None
+        for i in range(steps):
+            d = (x - sigma[i] * (0.1 * x)) / alpha[i]
+            h = lam[i + 1] - lam[i]
+            if d_prev is None:
+                d_bar = d
+            else:
+                r = (lam[i] - lam[i - 1]) / h
+                d_bar = (1 + 1 / (2 * r)) * d - (1 / (2 * r)) * d_prev
+            x = (sigma[i + 1] / sigma[i]) * x + alpha[i + 1] * (1 - np.exp(-h)) * d_bar
+            d_prev = d
+        np.testing.assert_allclose(got, x, rtol=2e-4, atol=2e-5)
+
 
 class TestSampleLoopEndToEnd:
-    @pytest.mark.parametrize("name", ["DDIM_Gaussian", "DDIM", "UniPC", "DPM++ 2M"])
+    @pytest.mark.parametrize("name", ["DDIM_Gaussian", "DDIM", "UniPC", "DPM++ 2M", "DPM++ 2M Karras"])
     def test_runs_and_deterministic(self, name):
         key = rng_lib.key_for_seed(7)
         cond = jnp.zeros((1, 7, 8))
@@ -271,7 +319,7 @@ class TestSampleLoopEndToEnd:
         key = rng_lib.key_for_seed(5)
         cond = jnp.zeros((1, 7, 8))
         latents = jnp.ones(SHAPE) * 0.3
-        for name in ["DDIM_Gaussian", "DDIM", "UniPC", "DPM++ 2M"]:
+        for name in ["DDIM_Gaussian", "DDIM", "UniPC", "DPM++ 2M", "DPM++ 2M Karras"]:
             out = sample_loop(
                 identity_eps_model, SCHED, steps=8, shape=SHAPE, cond=cond,
                 sampler_name=name, key=key, latents=latents,
