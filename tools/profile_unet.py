@@ -8,7 +8,8 @@ reliable timing through the axon tunnel (see CLAUDE.md / the verify
 skill): wall-clock `block_until_ready` timings are meaningless there.
 
 Usage:
-    python tools/profile_unet.py [tag]      # ~5-10 min incl. compile
+    python tools/profile_unet.py [tag]      # ModelScope (default family)
+    python tools/profile_unet.py vc_tag vc  # VideoCrafter UNet
 
 Artifacts: /tmp/t2v_profile_<tag>/ (trace), /tmp/unet_hlo_<tag>.txt.
 """
@@ -26,21 +27,35 @@ import jax.numpy as jnp
 import numpy as np
 
 TAG = sys.argv[1] if len(sys.argv) > 1 else "cur"
+FAMILY = sys.argv[2] if len(sys.argv) > 2 else "modelscope"
 TRACE = f"/tmp/t2v_profile_{TAG}"
 HLO = f"/tmp/unet_hlo_{TAG}.txt"
 
 
 def main() -> None:
-    from t2v.core.config import ModelScopeUNetConfig
     from t2v.core.dtypes import Policy
-    from t2v.models.modelscope_unet import UNetSD
 
-    cfg = ModelScopeUNetConfig()
-    model = UNetSD(cfg=cfg, policy=Policy.bf16())
     F, H, W = 24, 32, 32
-    x = jnp.zeros((2, F, H, W, cfg.in_dim), jnp.bfloat16)
+    if FAMILY == "vc":
+        from t2v.models.videocrafter_unet import (
+            VideoCrafterUNet,
+            VideoCrafterUNetConfig,
+        )
+
+        cfg = VideoCrafterUNetConfig()
+        model = VideoCrafterUNet(cfg=cfg, policy=Policy.bf16())
+        F = 16  # VC default temporal_length
+        in_dim, ctx_dim = cfg.in_channels, cfg.context_dim
+    else:
+        from t2v.core.config import ModelScopeUNetConfig
+        from t2v.models.modelscope_unet import UNetSD
+
+        cfg = ModelScopeUNetConfig()
+        model = UNetSD(cfg=cfg, policy=Policy.bf16())
+        in_dim, ctx_dim = cfg.in_dim, cfg.context_dim
+    x = jnp.zeros((2, F, H, W, in_dim), jnp.bfloat16)
     t = jnp.zeros((2,), jnp.float32)
-    ctx = jnp.zeros((2, 77, cfg.context_dim), jnp.bfloat16)
+    ctx = jnp.zeros((2, 77, ctx_dim), jnp.bfloat16)
 
     t0 = time.time()
     print("init compile...", flush=True)
