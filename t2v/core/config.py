@@ -152,10 +152,11 @@ class CLIPTextConfig:
 
 
 # Sampler names are part of the public surface
-# (reference samplers_common.py:89-93); "DPM++ 2M" is a beyond-reference
-# addition (t2v/diffusion/dpmpp.py).
+# (reference samplers_common.py:89-93); the DPM++ and Euler entries are
+# beyond-reference additions (t2v/diffusion/{dpmpp,euler}.py).
 SAMPLER_NAMES: tuple[str, ...] = (
     "DDIM_Gaussian", "DDIM", "UniPC", "DPM++ 2M", "DPM++ 2M Karras",
+    "Euler", "Euler a",
 )
 
 

@@ -10,7 +10,8 @@ this is an approximation, OFF by default (interval=1 is exact).
 
 Implementation: the scan carry is (x, deep_feature); a ``lax.cond`` picks
 the full forward (also refreshing the cache) or the cached shallow pass.
-Supports the DDIM_Gaussian and DDIM samplers (single-state step fns).
+Supports the single-state step-fn samplers (DDIM_Gaussian, DDIM, Euler,
+Euler a).
 """
 
 from __future__ import annotations
@@ -22,11 +23,17 @@ import numpy as np
 from t2v.core import rng as rng_lib
 from t2v.diffusion import ddim as ddim_mod
 from t2v.diffusion import ddim_gaussian as gaussian_mod
+from t2v.diffusion import euler as euler_mod
 from t2v.diffusion import sampling as sampling_mod
 from t2v.diffusion.sampling import _cond_at, cfg_combine
 from t2v.diffusion.schedules import DiffusionSchedule
 
-_MODS = {"DDIM_Gaussian": gaussian_mod, "DDIM": ddim_mod}
+_MODS = {
+    "DDIM_Gaussian": gaussian_mod,
+    "DDIM": ddim_mod,
+    "Euler": euler_mod,
+    "Euler a": euler_mod.ancestral,
+}
 
 
 def deepcache_plan(sampler_name: str, schedule: DiffusionSchedule, steps: int, eta: float):
@@ -47,6 +54,7 @@ def make_deepcache_body(
     combine = mod.CFG_COMBINE
     do_cfg = uncond is not None and guidance_scale not in (None, 1)
     eta_key = rng_lib.stream(key, "ddim_eta")
+    needs_noise = eta > 0 or getattr(mod, "NEEDS_STEP_NOISE", False)
     convert = sampling_mod.make_out_to_eps(parameterization, schedule)
 
     def model_in(x, step):
@@ -83,7 +91,7 @@ def make_deepcache_body(
         eps = convert(to_eps(out), xc, t_table[i]).astype(jnp.float32)
         noise = (
             jax.random.normal(jax.random.fold_in(eta_key, i), xc.shape, xc.dtype)
-            if eta > 0
+            if needs_noise
             else jnp.zeros((), xc.dtype)
         )
         xc = mod.step(xc, eps, p, i, noise)

@@ -32,6 +32,7 @@ from t2v.core import rng as rng_lib
 from t2v.diffusion import ddim as ddim_mod
 from t2v.diffusion import ddim_gaussian as gaussian_mod
 from t2v.diffusion import dpmpp as dpmpp_mod
+from t2v.diffusion import euler as euler_mod
 from t2v.diffusion import unipc as unipc_mod
 from t2v.diffusion.schedules import DiffusionSchedule
 
@@ -51,6 +52,10 @@ available_samplers: tuple[SamplerSpec, ...] = (
     # uniform and Karras rho-7 node spacings
     SamplerSpec("DPM++ 2M", dpmpp_mod, False),
     SamplerSpec("DPM++ 2M Karras", dpmpp_mod.karras, False),
+    # beyond-reference: k-diffusion Euler pair (euler.py) — single-state,
+    # so both window (interrupt) and DeepCache execution apply
+    SamplerSpec("Euler", euler_mod, False),
+    SamplerSpec("Euler a", euler_mod.ancestral, False),
 )
 
 
@@ -312,7 +317,7 @@ def make_step_body(
         parameterization=parameterization, schedule=schedule,
     )
     steps = p.steps
-    needs_noise = eta > 0
+    needs_noise = eta > 0 or getattr(mod, "NEEDS_STEP_NOISE", False)
     progressive = (
         inpaint_mode == "progressive"
         and mask is not None

@@ -193,9 +193,18 @@ def _cross_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
         o_ref[0, :, sl] = oh.astype(o_ref.dtype)
 
 
-# query rows per grid step for the cross kernel; 4096 rows of f32 scores
-# over a lane-padded 77..128-token context is ~2 MB of VMEM
+# query rows per grid step for the cross kernel, bounded by a scoped-VMEM
+# budget: q/o blocks are double-buffered bf16 (8·hd bytes per row) and the
+# f32 score/prob scratch is lane-padded to 128 columns plus the f32 head
+# output (~1.7 kB per row). A flat 4096-row cap hit the 16 MB scoped-VMEM
+# ceiling at the full-scale UNet (18.1 MB at hd=320, q (2, 24576, 320)) —
+# the budget keeps every channel width comfortably under it.
 _CROSS_TARGET_ROWS = 4096
+_CROSS_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def _cross_rows_cap(hd: int) -> int:
+    return max(256, min(_CROSS_TARGET_ROWS, _CROSS_VMEM_BUDGET // (8 * hd + 1664)))
 
 
 def _largest_divisor(n: int, cap: int) -> int:
@@ -229,7 +238,7 @@ def fused_cross_mha(
     s = k.shape[1]
     if scale is None:
         scale = (hd // heads) ** -0.5
-    rb = _largest_divisor(n, _CROSS_TARGET_ROWS)
+    rb = _largest_divisor(n, _cross_rows_cap(hd))
     return pl.pallas_call(
         functools.partial(_cross_mha_kernel, heads=heads, scale=float(scale)),
         grid=(b, n // rb),

@@ -434,7 +434,7 @@ class ModelScopePipeline:
             deep_cache_interval > 1
             and latents is None
             and mask is None
-            and args.sampler in ("DDIM_Gaussian", "DDIM")
+            and args.sampler in ("DDIM_Gaussian", "DDIM", "Euler", "Euler a")
         ):
             x0 = self._infer_deepcache(
                 steps, shape, args, key, conditioning, deep_cache_interval,

@@ -272,8 +272,104 @@ class TestDPMpp2M:
         np.testing.assert_allclose(got, x, rtol=2e-4, atol=2e-5)
 
 
+class TestEuler:
+    """Euler / Euler-a (t2v/diffusion/euler.py) vs an independent NumPy
+    loop in the k-diffusion space (arXiv:2206.00364 Alg. 1-2)."""
+
+    def test_numpy_parity_euler(self):
+        from t2v.diffusion import euler as euler_mod
+
+        steps = 8
+        key = rng_lib.key_for_seed(3)
+        cond = jnp.zeros((1, 7, 8))
+        noise = rng_lib.latent_noise(key, SHAPE, jnp.float32)
+        got = np.asarray(sample_loop(
+            identity_eps_model, SCHED, steps=steps, shape=SHAPE, cond=cond,
+            sampler_name="Euler", key=key, noise=noise,
+        ))
+
+        # independent loop: rebuild the (abar, sig) ladder from the plan's
+        # visited timesteps and run the textbook k-space Euler recursion
+        p = euler_mod.plan(SCHED, steps)
+        abar = np.concatenate([SCHED.alphas_cumprod[p.timesteps], [1.0]])
+        sig = np.sqrt(1.0 - abar) / np.sqrt(abar)
+        x_vp = np.asarray(noise, np.float64)
+        for i in range(p.steps):
+            eps = 0.1 * x_vp  # identity_eps_model sees the VP-space state
+            x_k = x_vp / np.sqrt(abar[i])
+            x_k = x_k + eps * (sig[i + 1] - sig[i])
+            x_vp = np.sqrt(abar[i + 1]) * x_k
+        np.testing.assert_allclose(got, x_vp, rtol=2e-5, atol=2e-6)
+
+    def test_single_step_lands_on_x0_prediction(self):
+        from t2v.diffusion import euler as euler_mod
+
+        p = euler_mod.plan(SCHED, 1)
+        key = rng_lib.key_for_seed(9)
+        x = rng_lib.latent_noise(key, SHAPE, jnp.float32)
+        eps = 0.5 * x
+        out = np.asarray(euler_mod.step(x, eps, p, 0, jnp.zeros((), x.dtype)))
+        t = int(p.timesteps[0])
+        x0 = (np.asarray(x) - SCHED.sqrt_one_minus_alphas_cumprod[t] * np.asarray(eps)) / (
+            SCHED.sqrt_alphas_cumprod[t]
+        )
+        np.testing.assert_allclose(out, x0, rtol=1e-5, atol=1e-6)
+
+    def test_ancestral_tables(self):
+        from t2v.diffusion import euler as euler_mod
+
+        p = euler_mod.plan(SCHED, 10)
+        pa = euler_mod.ancestral.plan(SCHED, 10)
+        # plain Euler is deterministic; ancestral injects noise on every
+        # step except the terminal one (sig_next = 0 there)
+        assert not p.c_noise.any()
+        assert (pa.c_noise[:-1] > 0).all() and pa.c_noise[-1] == 0.0
+        # ancestral splits sig_next into (sig_dn, sig_up) with
+        # sig_dn^2 + sig_up^2 = sig_next^2 — check via the stored coeffs
+        abar = np.concatenate([SCHED.alphas_cumprod[pa.timesteps], [1.0]])
+        sig = np.sqrt(1.0 - abar) / np.sqrt(abar)
+        sig_dn = pa.c_eps / np.sqrt(abar[1:]) + sig[:-1]
+        sig_up = pa.c_noise / np.sqrt(abar[1:])
+        # tables are stored float32 — identity holds to fp32 rounding
+        np.testing.assert_allclose(
+            sig_dn**2 + sig_up**2, sig[1:] ** 2, rtol=1e-6, atol=1e-9
+        )
+
+    def test_ancestral_differs_and_deterministic(self):
+        key = rng_lib.key_for_seed(7)
+        cond = jnp.zeros((1, 7, 8))
+        kw = dict(steps=6, shape=SHAPE, cond=cond, key=key)
+        e = sample_loop(identity_eps_model, SCHED, sampler_name="Euler", **kw)
+        a1 = sample_loop(identity_eps_model, SCHED, sampler_name="Euler a", **kw)
+        a2 = sample_loop(identity_eps_model, SCHED, sampler_name="Euler a", **kw)
+        assert not np.allclose(e, a1)
+        assert np.allclose(a1, a2)
+
+    def test_euler_tracks_ddim_dense_limit(self):
+        """Both discretize the same probability-flow ODE: at many steps
+        Euler and DDIM must converge to each other."""
+        key = rng_lib.key_for_seed(4)
+        cond = jnp.zeros((1, 7, 8))
+        noise = rng_lib.latent_noise(key, SHAPE, jnp.float32)
+        kw = dict(shape=SHAPE, cond=cond, key=key, noise=noise)
+        e = np.asarray(sample_loop(
+            identity_eps_model, SCHED, steps=200, sampler_name="Euler", **kw
+        ))
+        d = np.asarray(sample_loop(
+            identity_eps_model, SCHED, steps=200, sampler_name="DDIM", **kw
+        ))
+        assert np.abs(e - d).mean() < 5e-3 * np.abs(d).mean()
+
+    def test_deepcache_supports_euler(self):
+        from t2v.diffusion.deepcache import deepcache_plan
+
+        mod, p = deepcache_plan("Euler a", SCHED, 8, 0.0)
+        assert getattr(mod, "NEEDS_STEP_NOISE", False)
+        assert p.steps == 8
+
+
 class TestSampleLoopEndToEnd:
-    @pytest.mark.parametrize("name", ["DDIM_Gaussian", "DDIM", "UniPC", "DPM++ 2M", "DPM++ 2M Karras"])
+    @pytest.mark.parametrize("name", ["DDIM_Gaussian", "DDIM", "UniPC", "DPM++ 2M", "DPM++ 2M Karras", "Euler", "Euler a"])
     def test_runs_and_deterministic(self, name):
         key = rng_lib.key_for_seed(7)
         cond = jnp.zeros((1, 7, 8))
@@ -319,7 +415,7 @@ class TestSampleLoopEndToEnd:
         key = rng_lib.key_for_seed(5)
         cond = jnp.zeros((1, 7, 8))
         latents = jnp.ones(SHAPE) * 0.3
-        for name in ["DDIM_Gaussian", "DDIM", "UniPC", "DPM++ 2M", "DPM++ 2M Karras"]:
+        for name in ["DDIM_Gaussian", "DDIM", "UniPC", "DPM++ 2M", "DPM++ 2M Karras", "Euler", "Euler a"]:
             out = sample_loop(
                 identity_eps_model, SCHED, steps=8, shape=SHAPE, cond=cond,
                 sampler_name=name, key=key, latents=latents,

@@ -33,7 +33,10 @@ HLO = f"/tmp/unet_hlo_{TAG}.txt"
 
 
 def main() -> None:
+    from t2v.core.compile_cache import enable_compile_cache
     from t2v.core.dtypes import Policy
+
+    enable_compile_cache()
 
     F, H, W = 24, 32, 32
     if FAMILY == "vc":
