@@ -36,6 +36,7 @@ from t2v.kernels.attention import attention_mh as _attention_mh
 from t2v.kernels.attention import cross_attention_packed as _cross_attention_packed
 from t2v.kernels.attention import self_attention_packed as _self_attention_packed
 from t2v.kernels.attention import temporal_attention_packed as _temporal_attention_packed
+from t2v.kernels.geglu import geglu as geglu_combine
 from t2v.kernels.group_norm import group_norm as _group_norm
 
 
@@ -262,12 +263,13 @@ class GEGLUFeedForward(nn.Module):
             ),
             x,
         )
-        h, gate = jnp.split(proj, 2, axis=-1)
-        # gelu in compute dtype: the reference runs GEGLU under fp16
-        # autocast (t2v_pipeline.py:275), and an f32 upcast here forces XLA
-        # to materialise the doubled projection in f32 — 6.75 GB at
-        # 1024×576 temporal blocks (OOM on one chip)
-        h = h * jax.nn.gelu(gate, approximate=False)
+        # combine the packed halves in one streaming pass
+        # (t2v.kernels.geglu): the mul mixes output column j with column
+        # j+inner, so XLA can't fold it into either GEMM's epilogue and
+        # runs it as a standalone ~half-bandwidth loop fusion. The kernel
+        # computes gelu in f32 per block — never materialising the doubled
+        # projection in f32 (6.75 GB at 1024×576 temporal blocks).
+        h = geglu_combine(proj)
         return _tokens_2d(
             nn.Dense(
                 self.dim,

@@ -18,9 +18,15 @@ import collections
 import glob
 import gzip
 import json
+import os
 import re
 import sys
 import time
+
+# Running as `python tools/profile_unet.py` puts tools/ (not the repo root)
+# at sys.path[0]; PYTHONPATH must stay unset when driving the TPU (see
+# .claude/skills/verify/SKILL.md), so fix the path in-process.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
