@@ -26,9 +26,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 # VMEM budget for choosing the row block. Per row: the double-buffered
-# bf16 in/out blocks (2*(2*inner + inner)*2 B) plus the Mosaic stack's f32
-# temporaries (~4 values of width ``inner`` live at once, 16*inner B) —
-# ~28*inner bytes/row total against the 16 MB scoped-VMEM ceiling.
+# in/out blocks (2*(2*inner + inner)*itemsize B) plus the Mosaic stack's
+# f32 temporaries (~4 values of width ``inner`` live at once, 16*inner B)
+# — ``(6*itemsize + 16)*inner`` bytes/row (28*inner for bf16, 40*inner for
+# f32) against the 16 MB scoped-VMEM ceiling.
 _VMEM_BUDGET = 11 * 1024 * 1024
 
 
@@ -74,16 +75,28 @@ def geglu_pallas(proj, *, interpret: bool = False):
     inner = two_inner // 2
     rows = math.prod(lead)
     p2 = proj.reshape(rows, two_inner)
-    cap = _VMEM_BUDGET // (28 * inner)
+    cap = _VMEM_BUDGET // ((6 * proj.dtype.itemsize + 16) * inner)
     rb = _largest_divisor(rows, cap)
+    padded = rows
+    if rb < max(1, min(rows, cap) // 2):
+        # no clean divisor (e.g. prime rows): pad up to a multiple of a
+        # well-sized sublane-aligned block instead of degrading to tiny
+        # grid steps; the tail block computes on zeros and is sliced off
+        rb = max(1, min(rows, cap))
+        if rb >= 8:
+            rb -= rb % 8
+        padded = -(-rows // rb) * rb
+        p2 = jnp.pad(p2, ((0, padded - rows), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_geglu_kernel, inner=inner),
-        grid=(rows // rb,),
+        grid=(padded // rb,),
         in_specs=[pl.BlockSpec((rb, two_inner), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((rb, inner), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((rows, inner), proj.dtype),
+        out_shape=jax.ShapeDtypeStruct((padded, inner), proj.dtype),
         interpret=interpret,
     )(p2)
+    if padded != rows:
+        out = out[:rows]
     return out.reshape(*lead, inner)
 
 

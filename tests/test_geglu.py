@@ -51,13 +51,37 @@ def test_bf16_io_keeps_dtype_and_value():
 
 
 def test_uneven_row_blocks():
-    # rows = 3*37 is indivisible by any nice block: falls to rb=3 (or 1)
+    # rows = 3*37 is indivisible by any nice block: takes the padded path
     x = _rand((3, 37, 256), 2)
     np.testing.assert_allclose(
         np.asarray(geglu_pallas(x, interpret=True)),
         np.asarray(_geglu_ref(x)),
         atol=2e-5,
     )
+
+
+def test_prime_rows_pad_path():
+    # 211 rows is prime: the exact-divisor search would degrade to rb=1
+    # (one grid step per row); the pad path must keep a full-size block
+    # and still match
+    x = _rand((211, 1, 256), 5)
+    np.testing.assert_allclose(
+        np.asarray(geglu_pallas(x, interpret=True)),
+        np.asarray(_geglu_ref(x)),
+        atol=2e-5,
+    )
+
+
+def test_f32_vmem_cap_scales_with_itemsize():
+    # with f32 inputs the per-row footprint is 40*inner B; the chosen row
+    # block must respect the budget (regression for the ADVICE finding)
+    from t2v.kernels.geglu import _VMEM_BUDGET, _largest_divisor
+
+    inner = 5120
+    rows = 4096
+    cap32 = _VMEM_BUDGET // ((6 * 4 + 16) * inner)
+    rb = _largest_divisor(rows, cap32)
+    assert rb * (6 * 4 + 16) * inner <= _VMEM_BUDGET
 
 
 def test_backward_matches_autodiff():
