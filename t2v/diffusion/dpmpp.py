@@ -34,7 +34,8 @@ from t2v.diffusion.unipc import _discrete_marginals
 NAME = "DPM++ 2M"
 FRAME_INPAINT_SUPPORT = False
 CFG_COMBINE = "full"
-MULTISTEP = True  # carries model-output history — own loop, no windowing
+MULTISTEP = True  # carries model-output history — own loop (see ``window``
+# for the interrupt-capable chunked execution: the carry is just (x, prev_D))
 
 
 @dataclass(frozen=True)
@@ -119,12 +120,7 @@ def encode_vid2vid(schedule: DiffusionSchedule, latent, noise, strength: float, 
     return a0 * latent + s0 * noise
 
 
-def sample(x, model_fn, p: Plan):
-    """Run the full 2M loop: one homogeneous scan over the steps.
-
-    model_fn(x, t_input, s) -> x0 ("data") prediction at rung s — the
-    ``sampling._unipc_model_fn`` contract.
-    """
+def _make_body(model_fn, p: Plan):
     t_in = jnp.asarray(p.t_input, jnp.float32)
     sig_ratio = jnp.asarray(p.sig_ratio, jnp.float32)
     growth = jnp.asarray(p.growth, jnp.float32)
@@ -138,8 +134,37 @@ def sample(x, model_fn, p: Plan):
         xc = sig_ratio[i] * xc + growth[i] * d_bar
         return (xc, d), None
 
+    return body
+
+
+def sample(x, model_fn, p: Plan):
+    """Run the full 2M loop: one homogeneous scan over the steps.
+
+    model_fn(x, t_input, s) -> x0 ("data") prediction at rung s — the
+    ``sampling._unipc_model_fn`` contract.
+    """
+    body = _make_body(model_fn, p)
     (x, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), jnp.arange(p.steps))
     return x
+
+
+def window(x, d_prev, model_fn, p: Plan, start, n: int):
+    """Run steps [start, start+n) carrying the 2M multistep state
+    ``(x, previous x0-prediction)`` across windows — the interrupt-capable
+    execution (reference cancellation semantics, samplers_common.py:48-52).
+    ``d_prev`` starts as zeros (step 0's weights ignore it). The offset
+    rides in the carry so every same-length window shares one jaxpr."""
+    body = _make_body(model_fn, p)
+
+    def chunk_body(carry, j):
+        (xc, dp), off = carry
+        (xc, dp), _ = body((xc, dp), off + j)
+        return ((xc, dp), off), None
+
+    ((x, d_prev), _), _ = jax.lax.scan(
+        chunk_body, ((x, d_prev), jnp.asarray(start, jnp.int32)), jnp.arange(n)
+    )
+    return x, d_prev
 
 
 class _KarrasVariant:
@@ -152,6 +177,7 @@ class _KarrasVariant:
     MULTISTEP = True
     Plan = Plan
     sample = staticmethod(sample)
+    window = staticmethod(window)
 
     @staticmethod
     def plan(schedule, steps, t_start=None):

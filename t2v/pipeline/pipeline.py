@@ -452,12 +452,7 @@ class ModelScopePipeline:
             )
             return InferResult(frames=list(frames), latents=x0, infotext=infotext)
 
-        if (
-            callback is None
-            or callback_interval is None
-            or args.sampler.startswith("DPM++")  # multistep carry — no windowed
-            # execution (terminal progress callback, like UniPC vid2vid)
-        ):
+        if callback is None or callback_interval is None:
             # whole-loop jit with params as a REAL argument: embedding the
             # 1.7B-param tree as jaxpr constants overflows the compile
             # transport and re-uploads weights per executable
@@ -494,6 +489,11 @@ class ModelScopePipeline:
                 callback(steps)
         elif args.sampler == "UniPC":
             x0 = self._infer_unipc(
+                steps, shape, args, key, conditioning, latents, mask,
+                is_vid2vid, inpaint_mode, callback, callback_interval,
+            )
+        elif args.sampler.startswith("DPM++"):
+            x0 = self._infer_dpmpp(
                 steps, shape, args, key, conditioning, latents, mask,
                 is_vid2vid, inpaint_mode, callback, callback_interval,
             )
@@ -692,6 +692,96 @@ class ModelScopePipeline:
         )
         jax.block_until_ready(x)
         callback(steps)
+        return x
+
+    def _infer_dpmpp(
+        self, steps, shape, args, key, conditioning, latents, mask,
+        is_vid2vid, inpaint_mode, callback, callback_interval,
+    ):
+        """DPM++ 2M (uniform or Karras nodes) with windowed execution: the
+        multistep carry is just ``(x, previous x0-prediction)``, so it
+        crosses jitted windows like UniPC's model history does, and the
+        host polls the interrupt between windows (reference cancellation
+        semantics, samplers_common.py:48-52). Masked inpainting falls back
+        to the monolithic jit (no frame-inpaint support, mirroring UniPC)."""
+        from t2v.diffusion.sampling import _unipc_model_fn, get_sampler
+
+        unet = self.unet
+        cond, uncond = conditioning.cond, conditioning.uncond
+        windowable = (latents is None or is_vid2vid) and mask is None
+        if not windowable:
+            static = (
+                "dpmpp", steps, shape, args.sampler, float(args.cfg_scale),
+                float(args.strength), is_vid2vid, inpaint_mode,
+                latents is not None, mask is not None,
+            )
+
+            def build():
+                def f(params, key, cond, uncond, latents, mask):
+                    def apply_fn(x, t, ctx):
+                        return unet.apply(params, x, t, ctx)
+
+                    return sample_loop(
+                        apply_fn, self.schedule, steps=steps, shape=shape,
+                        cond=cond, uncond=uncond,
+                        guidance_scale=args.cfg_scale, eta=args.eta,
+                        sampler_name=args.sampler, key=key, latents=latents,
+                        is_vid2vid=is_vid2vid, strength=args.strength,
+                        mask=mask, inpaint_mode=inpaint_mode,
+                        parameterization=self.unet_cfg.parameterization,
+                    )
+
+                return jax.jit(f)
+
+            x0 = self._sampler_fn(static, build)(
+                self.unet_params, key, cond, uncond, latents, mask
+            )
+            callback(steps)
+            return x0
+
+        mod = get_sampler(args.sampler).module
+        vid2vid = latents is not None and is_vid2vid
+        t_start = float(args.strength) if vid2vid else None
+        p = mod.plan(self.schedule, steps, t_start=t_start)
+
+        base = (
+            "dpmpp-win", steps, shape, args.sampler, float(args.cfg_scale),
+            vid2vid, float(args.strength) if vid2vid else None,
+        )
+
+        def build_window(n):
+            def build():
+                def f(params, x, d_prev, off, cond, uncond):
+                    def apply_fn(xx, tt, cc):
+                        return unet.apply(params, xx, tt, cc)
+
+                    model_fn = _unipc_model_fn(
+                        apply_fn, cond, uncond, args.cfg_scale, p,
+                        parameterization=self.unet_cfg.parameterization,
+                    )
+                    return mod.window(x, d_prev, model_fn, p, off, n)
+
+                return jax.jit(f)
+
+            return build
+
+        if vid2vid:
+            noise = rng_lib.latent_noise(key, shape)
+            x = mod.encode_vid2vid(
+                self.schedule, latents, noise, args.strength, steps
+            ).astype(jnp.float32)
+        else:
+            x = rng_lib.latent_noise(key, shape).astype(jnp.float32)
+        d_prev = jnp.zeros_like(x)
+
+        done = 0
+        while done < p.steps:
+            n = min(callback_interval, p.steps - done)
+            fn = self._sampler_fn(base + (n,), build_window(n))
+            x, d_prev = fn(self.unet_params, x, d_prev, done, cond, uncond)
+            jax.block_until_ready(x)
+            done += n
+            callback(done)  # raises to interrupt/skip
         return x
 
     def _sampler_fn(self, static_key, build):

@@ -412,10 +412,66 @@ class VideoCrafterPipeline:
             )
             noise = rng_lib.latent_noise(key, shape)
             x0 = ddpm_mod.sample(eps_fn, self.schedule, noise, key)
+        elif callback is not None and callback_interval is not None and (
+            sampler_name == "DPM++ 2M"
+        ):
+            # windowed multistep execution: the 2M carry (x, prev_D)
+            # crosses jitted windows; interrupt polled between windows
+            # (same cancellation semantics as the DDIM window path)
+            from t2v.diffusion import dpmpp
+            from t2v.diffusion.sampling import _unipc_model_fn
+
+            p = dpmpp.plan(self.schedule, args.steps)
+            unet, ck = self.unet, self.cfg.conditioning_key
+            base_static = (
+                "dpmpp-win", args.steps, shape, float(args.cfg_scale),
+                features_adapter is not None,
+            )
+
+            def build_dpm_window(n):
+                def f(params, x, d_prev, off, cond, uncond, feats):
+                    from t2v.models.conditioning import (
+                        normalize_cond,
+                        route_conditioning,
+                    )
+
+                    def apply(xx, tt, cc):
+                        c = normalize_cond(ck, cc)
+                        x2, kw = route_conditioning(ck, xx, c)
+                        return unet.apply(
+                            params, x2, tt, kw["context"],
+                            features_adapter=feats, y=kw["y"],
+                        )
+
+                    model_fn = _unipc_model_fn(
+                        apply, cond, uncond, args.cfg_scale, p,
+                        parameterization=self.cfg.parameterization,
+                    )
+                    return dpmpp.window(x, d_prev, model_fn, p, off, n)
+
+                return jax.jit(f)
+
+            x = rng_lib.latent_noise(key, shape).astype(jnp.float32)
+            d_prev = jnp.zeros_like(x)
+            done = 0
+            while done < p.steps:
+                n = min(callback_interval, p.steps - done)
+                fkey = base_static + (n,)
+                fn = self._sample_cache.get(fkey)
+                if fn is None:
+                    fn = build_dpm_window(n)
+                    self._sample_cache[fkey] = fn
+                x, d_prev = fn(
+                    self.unet_params, x, d_prev, done, cond, uncond,
+                    features_adapter,
+                )
+                jax.block_until_ready(x)
+                done += n
+                callback(done)  # raises to interrupt/skip
+            x0 = x
         elif (
             callback is None
             or callback_interval is None
-            or sampler_name != "DDIM"  # multistep carry does not window
         ):
             # whole-loop jit, params as a real argument (avoids embedding
             # the weights as jaxpr constants — see ModelScopePipeline.infer)

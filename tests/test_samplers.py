@@ -487,6 +487,75 @@ class TestUniPCWindowed:
         )
 
 
+class TestDPMppWindowed:
+    """Windowed (interrupt-capable) DPM++ 2M execution — the multistep
+    carry (x, prev_D) crosses jitted windows (VERDICT r2 weak #3)."""
+
+    @pytest.mark.parametrize("variant", ["uniform", "karras"])
+    def test_windows_match_monolithic(self, variant):
+        from t2v.diffusion import dpmpp
+
+        mod = dpmpp.karras if variant == "karras" else dpmpp
+        p = mod.plan(SCHED, 10)
+
+        def model_fn(x, t_input, s):
+            return 0.3 * x + 0.01 * t_input
+
+        x0 = rng_lib.latent_noise(rng_lib.key_for_seed(4), (1, 2, 8, 8, 4))
+        ref = dpmpp.sample(x0, model_fn, p)
+
+        x, d_prev = x0, jnp.zeros_like(x0)
+        off = 0
+        for n in (3, 4, 3):
+            x, d_prev = dpmpp.window(x, d_prev, model_fn, p, off, n)
+            off += n
+        np.testing.assert_allclose(np.asarray(x), np.asarray(ref), atol=1e-5)
+
+    def test_pipeline_dpmpp_windowed_matches_monolithic(self):
+        from t2v.core.config import T2VArgs
+        from t2v.core.state import JobState
+        from t2v.pipeline.pipeline import ModelScopePipeline
+
+        pipe = ModelScopePipeline.random_init()
+        args = T2VArgs(
+            prompt="x", n_prompt="n", steps=8, frames=2, width=32, height=32,
+            seed=3, sampler="DPM++ 2M",
+        )
+        ref = pipe.infer(args)  # monolithic (callback None)
+        st = JobState()
+        st.begin_job(0, 1, 8)
+        out = pipe.infer(args, callback=st.step_callback, callback_interval=2)
+        assert st.sampling_step == 8
+        np.testing.assert_allclose(
+            np.asarray(out.latents), np.asarray(ref.latents), atol=1e-4
+        )
+
+    def test_pipeline_dpmpp_interrupt_mid_run(self):
+        from t2v.core.config import T2VArgs
+        from t2v.core.state import InterruptedException, JobState
+        from t2v.pipeline.pipeline import ModelScopePipeline
+
+        pipe = ModelScopePipeline.random_init()
+        args = T2VArgs(
+            prompt="x", n_prompt="n", steps=8, frames=2, width=32, height=32,
+            seed=3, sampler="DPM++ 2M",
+        )
+        st = JobState()
+        st.begin_job(0, 1, 8)
+        calls = []
+
+        def cb(step):
+            calls.append(step)
+            if step >= 4:
+                st.interrupt()
+            st.step_callback(step)
+
+        with pytest.raises(InterruptedException):
+            pipe.infer(args, callback=cb, callback_interval=2)
+        # interrupted after the second window — not the full 8 steps
+        assert calls == [2, 4]
+
+
 class TestParameterization:
     """Non-eps model prediction targets (reference DDIM hooks
     sampler.py:183-206, UniPC model_wrapper uni_pc.py:156-311)."""

@@ -188,6 +188,28 @@ class TestVCEndToEnd:
         assert res.frames[0].shape == (64, 64, 3)
         assert "VideoCrafter" in res.infotext
 
+    def test_dpmpp_windowed_matches_monolithic(self):
+        """VC DPM++ 2M windows like the ModelScope path: the (x, prev_D)
+        carry crosses jitted windows and the callback fires per window."""
+        from t2v.core.state import JobState
+
+        pipe = VideoCrafterPipeline.random_init()
+        args = T2VArgs(
+            prompt="a cat", n_prompt="bad", steps=6, frames=2,
+            width=32, height=32, seed=3,
+        )
+        ref = pipe.infer(args, sample_type="dpm++ 2m")  # monolithic
+        st = JobState()
+        st.begin_job(0, 1, 6)
+        out = pipe.infer(
+            args, sample_type="dpm++ 2m",
+            callback=st.step_callback, callback_interval=2,
+        )
+        assert st.sampling_step == 6
+        np.testing.assert_allclose(
+            np.asarray(out.latents), np.asarray(ref.latents), atol=1e-4
+        )
+
     def test_run_exposes_lvdm_extras(self, tmp_path):
         """uc_type, sample_type=ddpm and mask inpainting must be reachable
         through the public run() orchestrator (round-1 review: they were
