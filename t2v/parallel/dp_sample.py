@@ -82,12 +82,26 @@ def dp_sample(
     shard_frames: bool = False,
     noise=None,  # precomputed (n, *sample_shape) noise (already placed)
     parameterization: str = "eps",
+    latents=None,  # (1|n, F, h, w, C) start latents (vid2vid source or masked init)
+    is_vid2vid: bool = False,
+    strength: float = 1.0,
+    mask=None,  # (1, F, h, w, C) inpaint mask (broadcast over the batch)
+    image_latents=None,  # (1, F, h, w, C) clean source latents
+    inpaint_mode: str = "initial_only",
+    cfg_combine_mode: Optional[str] = None,  # LVDM uc_type variants
 ):
     """Sample n videos in one sharded computation. Returns (n, F, H, W, C).
 
     With a mesh, noise is placed sharded over ``dp`` along the batch axis
     and the sharding propagates through the scan; without one it is a plain
     batched sample.
+
+    vid2vid (``latents`` + ``is_vid2vid``) and inpainting (``latents`` as
+    the per-sample masked init, plus ``mask``/``image_latents``) ride the
+    same batched loop: the per-sample noise is what differentiates samples,
+    and (1, ...) conditioning inputs broadcast over the batch axis — the
+    reference's DDP had no mode restriction either
+    (sample_text2video.py:174-188).
 
     shard_frames=True additionally shards the FRAME axis over the mesh's
     ``sp`` axis — the long-context configuration (SURVEY.md §5.7): spatial
@@ -102,6 +116,16 @@ def dp_sample(
                 mesh, n_samples, sample_shape, shard_frames)))
     cond_b = _tile_cond(cond, n_samples)
     uncond_b = _tile_cond(uncond, n_samples)
+    if latents is not None:
+        # vid2vid source latents broadcast against the per-sample noise in
+        # the encode; direct start latents (masked inpaint init) carry
+        # per-sample noise and must already be batched
+        ok = (1, n_samples) if is_vid2vid else (n_samples,)
+        if latents.shape[0] not in ok:
+            raise ValueError(
+                f"latents batch {latents.shape[0]} incompatible with "
+                f"n_samples={n_samples} (is_vid2vid={is_vid2vid})"
+            )
     x0 = sample_loop(
         apply_fn,
         schedule,
@@ -114,6 +138,13 @@ def dp_sample(
         sampler_name=sampler_name,
         key=rng_lib.key_for_seed(seed),
         noise=noise,
+        latents=latents,
+        is_vid2vid=is_vid2vid,
+        strength=strength,
+        mask=mask,
+        image_latents=image_latents,
+        inpaint_mode=inpaint_mode,
+        cfg_combine_mode=cfg_combine_mode,
         callback=callback,
         callback_interval=callback_interval,
         parameterization=parameterization,

@@ -203,21 +203,26 @@ def run(
     #   sp — the FRAME axis sharded (long-context videos, §5.7);
     #   tp — Megatron tensor parallelism over attention/MLP features
     #        (t2v/parallel/sharding.py) so ONE video can use many chips.
-    # txt2vid only — vid2vid/inpainting keep the serial per-batch loop.
-    # eta > 0 is allowed: each sample draws distinct per-step noise inside
-    # the batched scan, but the draws use a shared stream rather than the
-    # serial path's per-batch keys — DP==serial bit-parity holds only for
-    # eta == 0 (the reference's DDP made no reproducibility promise at all,
-    # sample_text2video.py:174-188)
-    if (
-        (dp_shards > 1 or tp_shards > 1 or sp_shards > 1)
-        and not is_vid2vid
-        and not (args.inpainting_frames > 0 and args.inpainting_image)
+    # vid2vid and inpainting ride the mesh too (the reference's DDP had no
+    # mode restriction, sample_text2video.py:174-188): the vid2vid source
+    # latents broadcast against per-sample noise, and the inpaint init is
+    # built per-sample below. eta > 0 / progressive re-blends are allowed:
+    # each sample draws distinct per-step noise inside the batched scan,
+    # but the draws use a shared stream rather than the serial path's
+    # per-batch keys — DP==serial bit-parity holds only where no step
+    # noise is drawn (eta == 0, initial_only inpainting).
+    # VC 'ddpm' chains keep the serial loop (ancestral chain over all 1000
+    # timesteps — not a registry sampler).
+    if (dp_shards > 1 or tp_shards > 1 or sp_shards > 1) and (
+        isinstance(pipe, ModelScopePipeline) or vc_sample_type != "ddpm"
     ):
         return _run_dp(
             pipe, args, out_args, outdir, resolved_seed, timestring,
             save_frames, dp_shards, tp_shards, sp_shards, features_adapter,
             job_state,
+            latents=latents, skip_steps=skip_steps, is_vid2vid=is_vid2vid,
+            inpaint_mode=inpaint_mode, vc_sample_type=vc_sample_type,
+            vc_uc_type=vc_uc_type,
         )
 
     for batch in range(args.batch_count):
@@ -407,6 +412,8 @@ def _emit_batch(
 def _run_dp(
     pipe, args, out_args, outdir, resolved_seed, timestring, save_frames,
     dp_shards, tp_shards, sp_shards, features_adapter, job_state=None,
+    latents=None, skip_steps=0, is_vid2vid=False,
+    inpaint_mode="initial_only", vc_sample_type="ddim", vc_uc_type=None,
 ) -> RunResult:
     """All batch_count samples in one mesh-sharded computation
     (t2v/parallel/dp_sample.py; dp = reference DDP semantics, sp = frame
@@ -414,15 +421,23 @@ def _run_dp(
     t2v/parallel/sharding.py — XLA inserts the per-block all-reduce). The
     sampling is ONE device computation, so interrupt granularity is
     coarser than the serial loop: progress updates on completion, and
-    interrupt/skip is honoured between the per-sample decodes."""
+    interrupt/skip is honoured between the per-sample decodes.
+
+    vid2vid / inpainting run here too (reference DDP had no mode
+    restriction): the vid2vid source broadcasts against per-sample noise;
+    the ModelScope masked-inpaint init is built per-sample with the same
+    seed+i keys as the serial loop."""
+    from t2v.core import rng as rng_lib
     from t2v.parallel.dp_sample import dp_sample
     from t2v.parallel.mesh import MeshConfig, make_mesh
 
     import jax
+    import jax.numpy as jnp
 
     n = args.batch_count
+    steps = args.steps - skip_steps
     if job_state is not None:
-        job_state.begin_job(0, n, args.steps)
+        job_state.begin_job(0, n, steps)
     mesh = None
     total = dp_shards * tp_shards * sp_shards
     if total > 1 and len(jax.devices()) >= total:
@@ -431,24 +446,64 @@ def _run_dp(
             jax.devices()[:total],
         )
 
+    is_ms = isinstance(pipe, ModelScopePipeline)
     ss_host = args.height // _latent_scale(pipe)
-    sample_shape = (args.frames, ss_host, args.width // _latent_scale(pipe), 4)
+    lat_c = 4 if is_ms else pipe.cfg.in_channels
+    sample_shape = (args.frames, ss_host, args.width // _latent_scale(pipe), lat_c)
 
-    if isinstance(pipe, ModelScopePipeline):
+    # per-sample inpaint init (serial parity: build_inpainting_inputs with
+    # key seed+i per batch, run() serial loop above)
+    mask = image_latents = None
+    strength = float(args.strength)
+    if args.inpainting_frames > 0 and args.inpainting_image:
+        import cv2
+
+        img = cv2.cvtColor(cv2.imread(args.inpainting_image), cv2.COLOR_BGR2RGB)
+        img = cv2.resize(img, (args.width, args.height))
+        # the serial loop builds these from batch_args with the resolved
+        # seed (keyframe DSL may reference it)
+        args_seeded = args.replace(seed=resolved_seed)
+        if is_ms:
+            rows = []
+            for i in range(n):
+                key_i = rng_lib.key_for_seed(resolved_seed + i)
+                masked_i, mask, image_latents = pipe.build_inpainting_inputs(
+                    img, args_seeded, key_i
+                )
+                rows.append(masked_i)
+            latents = jnp.concatenate(rows, axis=0) if n > 1 else rows[0]
+            strength = 1.0
+            is_vid2vid = False
+        else:
+            # LVDM static mask blend — deterministic inputs, broadcast
+            mask, image_latents = pipe.build_inpainting_inputs(img, args_seeded)
+            inpaint_mode = "lvdm_static"
+
+    if is_ms:
         conditioning = pipe.text_encoder.encode_request(
-            args.prompt, args.n_prompt, args.steps
+            args.prompt, args.n_prompt, steps
         )
         cond, uncond = conditioning.cond, conditioning.uncond
         sampler = args.sampler
+        cfg_combine_mode = None
     else:
         cond = pipe.encode_text([args.prompt])
         uncond = pipe.encode_text([args.n_prompt])
-        sampler = "DDIM"
+        # respect the requested VC chain (sample_utils.py:56-87); 'ddpm'
+        # was filtered to the serial loop by the caller
+        sampler = {"ddim": "DDIM", "dpm++ 2m": "DPM++ 2M"}[vc_sample_type]
+        cfg_combine_mode = vc_uc_type
+        if vc_sample_type == "dpm++ 2m" and (mask is not None or vc_uc_type):
+            raise ValueError(
+                "sample_type='dpm++ 2m' does not support mask inpainting "
+                "or uc_type CFG variants — use 'ddim'"
+            )
 
-    is_ms = isinstance(pipe, ModelScopePipeline)
-    static = ("dp", n, args.steps, sample_shape, sampler,
+    static = ("dp", n, steps, sample_shape, sampler,
               float(args.cfg_scale), float(args.eta),
-              dp_shards, tp_shards, sp_shards)
+              dp_shards, tp_shards, sp_shards,
+              latents is not None, is_vid2vid, strength if is_vid2vid else None,
+              mask is not None, inpaint_mode, cfg_combine_mode)
     fn = pipe._sample_cache.get(static)
     if fn is None:
         unet = pipe.unet
@@ -462,7 +517,7 @@ def _run_dp(
                 policy=_dc.replace(unet.policy, attention_backend="xla")
             )
 
-        def f(params, cond, uncond, noise):
+        def f(params, cond, uncond, noise, latents, mask, image_latents):
             if is_ms:
                 def apply_fn(x, t, c):
                     return unet.apply(params, x, t, c)
@@ -482,11 +537,14 @@ def _run_dp(
                     )
 
             return dp_sample(
-                apply_fn, pipe.schedule, steps=args.steps,
+                apply_fn, pipe.schedule, steps=steps,
                 sample_shape=sample_shape, n_samples=n, cond=cond,
                 uncond=uncond, guidance_scale=args.cfg_scale, eta=args.eta,
                 sampler_name=sampler, mesh=mesh, noise=noise,
                 shard_frames=sp_shards > 1,
+                latents=latents, is_vid2vid=is_vid2vid, strength=strength,
+                mask=mask, image_latents=image_latents,
+                inpaint_mode=inpaint_mode, cfg_combine_mode=cfg_combine_mode,
                 parameterization=(
                     pipe.unet_cfg if is_ms else pipe.cfg
                 ).parameterization,
@@ -501,20 +559,21 @@ def _run_dp(
     if mesh is not None:
         from jax.sharding import NamedSharding
 
-        noise = jax.device_put(
-            noise,
-            NamedSharding(
-                mesh, dp_spec(mesh, n, sample_shape, shard_frames=sp_shards > 1)
-            ),
+        spec = NamedSharding(
+            mesh, dp_spec(mesh, n, sample_shape, shard_frames=sp_shards > 1)
         )
+        noise = jax.device_put(noise, spec)
+        if latents is not None and latents.shape[0] == n:
+            # per-sample start latents shard like the noise
+            latents = jax.device_put(latents, spec)
         if tp_shards > 1:
             from t2v.parallel.sharding import shard_params
 
             unet_params = shard_params(unet_params, mesh)
-    x0 = fn(unet_params, cond, uncond, noise)
+    x0 = fn(unet_params, cond, uncond, noise, latents, mask, image_latents)
     x0.block_until_ready()
     if job_state is not None:
-        job_state.sampling_step = args.steps
+        job_state.sampling_step = steps
 
     result = RunResult()
     for batch in range(n):
