@@ -119,7 +119,8 @@ def self_attention_packed(
     (t2v/kernels/fused_mha.py) — no head-fold transposes, no (N, N) scores
     in HBM, no batch-minor layouts leaking into neighbouring matmuls
     (v5e, temporal shape 1024x24x8x64: 2.0 ms vs 2.36 ms folded per site;
-    end-to-end 24f/256px DDIM-20 video 3.23 s -> 3.00 s).
+    end-to-end 24f/256px DDIM-20 video 3.23 s -> 2.997 s, bench.py,
+    re-confirmed in the round-3 bisect).
     Long sequences fold and ride the flash kernel; CPU uses plain XLA.
     """
     b, n, hd = q.shape

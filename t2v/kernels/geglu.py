@@ -14,6 +14,13 @@ already a barrier between two GEMMs.
 
 Backward runs as plain XLA (`_geglu_bwd`): training steps are dominated by
 the GEMM gradients, and XLA's elementwise bwd fuses into those fine.
+
+Status note: wiring this kernel into every UNet GEGLU site benched ~26 ms
+SLOWER on the end-to-end v5e benchmark (bench.py 24f/256px DDIM-20,
+round-3 bisect) — the per-site bandwidth win was outweighed by lost
+surrounding fusion — so ``t2v.models.blocks.GEGLUFeedForward`` uses the
+plain XLA combine. The kernel stays (tested) for explicit use at shapes
+where the f32 materialisation matters (e.g. 1024×576 temporal blocks).
 """
 
 from __future__ import annotations

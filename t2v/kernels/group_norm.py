@@ -1,26 +1,24 @@
-"""Fused GroupNorm with virtual-concat support (XLA formulation).
+"""Chansum GroupNorm with virtual-concat support (XLA formulation).
 
-One implementation backs every GroupNorm in the UNets/VAE, including the
-decoder's *virtual skip-concat*: the pair ``[a; b]`` is normalised with
-exact joint group statistics — including groups that straddle the concat
-boundary — without ever materialising the concat (the reference does
+Per-channel sum/sum² reductions (f32) folded into groups on tiny ``(B, C)``
+tensors, then a single elementwise normalise+affine pass (+ optional fused
+SiLU); handles the virtual channel concat ``[a; b]`` with exact joint
+group statistics without materialising the concat (the reference does
 ``th.cat`` + ``nn.GroupNorm``, t2v_model.py:316-318).
 
-Formulation: per-channel sum/sum² reductions (f32) folded into groups on
-tiny ``(B, C)`` tensors, then a single elementwise normalise+affine pass
-(+ optional fused SiLU). The big tensors are read for stats and read again
-for the normalise — but XLA fuses the stat reduction into the *producer*
-of ``x`` (the device trace shows ``convert_reduce_fusion`` ops whose
-outputs are both the stats and the producer's tensor), so the stat pass is
-usually free.
-
-Negative result, kept for the record: a hand-written Pallas kernel (one
-VMEM residency for stats+normalise, one-hot-matmul group folding, chunked
-two-kernel fallback) measured *slower* end-to-end — 3.30 s vs 3.00 s per
-24f/256px DDIM-20 video on a v5e chip — precisely because it is a fusion
-barrier: XLA can no longer hide the stat pass inside the producer, and the
-normalise can no longer fuse into the consumer. The XLA formulation below
-IS the TPU-native answer here.
+Status: RECORDED NEGATIVE RESULT, kept (with tests) so it is not re-tried.
+Two formulations of GroupNorm both lost to the plain ``nn.GroupNorm``
+lowering on the end-to-end v5e benchmark (bench.py, 24f/256px DDIM-20):
+  * a hand-written Pallas kernel (one VMEM residency, one-hot-matmul group
+    folding): a fusion barrier — XLA can no longer hide the stat pass in
+    the producer or fuse the normalise into the consumer;
+  * THIS chansum formulation, wired into every UNet norm site: it benched
+    well against an older baseline, but the round-3 bisect attributed
+    +79 ms to the switch once the fused packed-head attention state was
+    the baseline (2.997 s -> 3.076 s; see blocks.py's perf-history note).
+``t2v.models.blocks.GroupNorm32`` therefore uses ``nn.GroupNorm`` for the
+single-tensor path and the joint-stats math only for the virtual
+skip-concat pair (where avoiding the materialised concat is the win).
 """
 
 from __future__ import annotations

@@ -19,11 +19,28 @@ Parity notes (verified by tests/test_blocks.py against torch CPU):
   * zero-initialised output projections mirror ``zero_module`` /
     ``nn.init.zeros_`` placements (proj_out, ResBlock out conv,
     TemporalConv conv4, UNet head conv).
+
+Perf history (negative results, kept so they are not re-tried): a v5e
+end-to-end bisect of the 24f/256px DDIM-20 benchmark attributed a stacked
+~10% regression to four individually-plausible "optimisations" layered on
+the fused packed-head attention state (2.997 s):
+  * chansum GroupNorm + fused SiLU via t2v/kernels/group_norm.py (+79 ms)
+    — each change benched well against an OLDER baseline but overlapped
+    with the attention fusion's gains; combined it lost;
+  * flattening per-token Dense to 2D GEMMs + keeping the temporal
+    transformer resident in spatial token layout (+134 ms);
+  * in-kernel frame-axis attention (fused_temporal_mha) instead of HBM
+    transposes (+50 ms);
+  * the Pallas GEGLU-combine kernel (+26 ms, a fusion barrier).
+This module therefore keeps the measured-fastest formulation: plain 3D
+Dense per-token ops, an explicit HBM transpose around the temporal
+transformer, XLA-side GroupNorm/GEGLU math. The kernels remain in
+t2v/kernels (tested, documented) for shapes where they do win.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax
@@ -31,13 +48,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from t2v.core.dtypes import Policy
-from t2v.kernels.attention import attention as _attention
 from t2v.kernels.attention import attention_mh as _attention_mh
 from t2v.kernels.attention import cross_attention_packed as _cross_attention_packed
 from t2v.kernels.attention import self_attention_packed as _self_attention_packed
-from t2v.kernels.attention import temporal_attention_packed as _temporal_attention_packed
-from t2v.kernels.geglu import geglu as geglu_combine
-from t2v.kernels.group_norm import group_norm as _group_norm
 
 
 def sinusoidal_embedding(t: jax.Array, dim: int) -> jax.Array:
@@ -75,7 +88,7 @@ class _GNScaleBias(nn.Module):
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm(32) with float32 statistics, fused on TPU.
+    """GroupNorm(32) with float32 statistics.
 
     Also accepts an ``(a, b)`` tuple, treated as the virtual channel concat
     ``[a; b]`` WITHOUT materialising it: group statistics are computed
@@ -85,12 +98,10 @@ class GroupNorm32(nn.Module):
     round-trip of the skip-connection concat (t2v_model.py:316-318 does
     ``th.cat`` + GroupNorm; here the cat never hits memory).
 
-    ``fuse_silu=True`` folds the SiLU that follows most UNet norms into the
-    normalise pass. The implementation (t2v/kernels/group_norm.py) is a
-    deliberately XLA-side formulation: per-channel partial sums that XLA
-    fuses into the producer of ``x`` (a hand-written Pallas kernel measured
-    slower end-to-end by being a fusion barrier — see the module docstring).
-    """
+    ``fuse_silu=True`` applies the SiLU that follows most UNet norms; it is
+    left to XLA to fuse into the surrounding elementwise work (the chansum
+    reformulation in t2v/kernels/group_norm.py benched slower end-to-end —
+    see the module docstring's perf history)."""
 
     eps: float = 1e-5
     num_groups: int = 32
@@ -99,17 +110,61 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        pair = isinstance(x, tuple)
-        a, b = x if pair else (x, None)
-        c = a.shape[-1] + (b.shape[-1] if pair else 0)
-        # child/param names match nn.GroupNorm's, for checkpoint parity
+        if isinstance(x, tuple):
+            out = self._pair(*x)
+            if self.fuse_silu:
+                out = (jax.nn.silu(out[0]), jax.nn.silu(out[1]))
+            return out
+        dtype = x.dtype
+        out = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.eps,
+            dtype=jnp.float32,
+            param_dtype=self.policy.param_dtype,
+        )(x.astype(jnp.float32))
+        if self.fuse_silu:
+            out = jax.nn.silu(out)
+        return out.astype(dtype)
+
+    def _pair(self, a, b):
+        ca, cb = a.shape[-1], b.shape[-1]
+        c = ca + cb
+        g = c // self.num_groups
+        # same child name ("GroupNorm_0") and param names as the single path
         scale, bias = _GNScaleBias(
             features=c, param_dtype=self.policy.param_dtype, name="GroupNorm_0"
         )()
-        return _group_norm(
-            a, scale, bias, b_part=b, num_groups=self.num_groups,
-            eps=self.eps, silu=self.fuse_silu,
+        red = tuple(range(1, a.ndim - 1))
+        n_el = int(np.prod([a.shape[i] for i in red]))
+        a32, b32 = a.astype(jnp.float32), b.astype(jnp.float32)
+        # per-channel partial sums -> tiny (B, C) tensors; the big parts are
+        # only read, never re-written as a concat
+        s = jnp.concatenate([a32.sum(red), b32.sum(red)], axis=-1)
+        s2 = jnp.concatenate(
+            [(a32 * a32).sum(red), (b32 * b32).sum(red)], axis=-1
         )
+        bsz = a.shape[0]
+        gs = s.reshape(bsz, self.num_groups, g).sum(-1)
+        gs2 = s2.reshape(bsz, self.num_groups, g).sum(-1)
+        cnt = n_el * g
+        mu = gs / cnt
+        var = gs2 / cnt - mu * mu
+        inv = jax.lax.rsqrt(var + self.eps)
+        mu_c = jnp.repeat(mu, g, axis=-1)  # (B, C)
+        inv_c = jnp.repeat(inv, g, axis=-1)
+        scale32 = scale.astype(jnp.float32)
+        bias32 = bias.astype(jnp.float32)
+
+        def norm(x32, sl, dtype):
+            shp = (bsz,) + (1,) * (x32.ndim - 2) + (-1,)
+            m = mu_c[:, sl].reshape(shp)
+            iv = inv_c[:, sl].reshape(shp)
+            pshp = (1,) * (x32.ndim - 1) + (-1,)
+            sc = scale32[sl].reshape(pshp)
+            bi = bias32[sl].reshape(pshp)
+            return ((x32 - m) * iv * sc + bi).astype(dtype)
+
+        return norm(a32, slice(0, ca), a.dtype), norm(b32, slice(ca, c), b.dtype)
 
 
 class SplitConv(nn.Module):
@@ -160,11 +215,8 @@ class SplitConv(nn.Module):
 
 def _tokens_2d(mod, x):
     """Apply a per-token Dense over ``(B, N, C)`` as one 2D ``(B·N, C)``
-    GEMM. Measured motivation (v5e device trace): XLA lowers small-N 3D
-    batched dots (e.g. proj_out: 48×1024×320 @ 320) through its conv
-    emitter (``EmitAllBatchInSublanes``) with token-minor layouts at ~5
-    TFLOP/s plus a layout copy on each side; the flattened 2D GEMM takes
-    the canonical row-major MXU path."""
+    GEMM (used by the VideoCrafter ST blocks, whose small-N 3D batched
+    dots lower through XLA's conv emitter with token-minor layouts)."""
     b, n, c = x.shape
     return mod(x.reshape(b * n, c)).reshape(b, n, -1)
 
@@ -172,23 +224,17 @@ def _tokens_2d(mod, x):
 class CrossAttention(nn.Module):
     """QKV attention (t2v_model.py:518-584). Self-attention when no context.
 
-    ``attend_axis_split=(b, f)`` declares that the batch axis of the input
-    is really ``b*f`` (sample-major) and attention must run ACROSS the
-    ``f`` slices (the temporal transformer). Everything — projections,
-    residency, and the attention core — stays in the resident
-    ``(b*f, n, c)`` layout; the frame<->token swap happens inside the
-    Pallas kernel's VMEM blocks (t2v/kernels/fused_mha.py::
-    fused_temporal_mha). Measured motivation (v5e device trace): running
-    the whole temporal block in the transposed domain made XLA assign
-    token-minor layouts to every matmul in it — proj/FFN dots lowered as
-    window-24 convolutions at ~8 TFLOP/s, 40x off MXU peak — and
-    host-program swap transposes around the attention cost HBM copies."""
+    A context whose batch is SMALLER than the query batch declares shared
+    conditioning: the caller passes ONE context row per sample while x
+    carries ``b = cb·f`` frame rows (sample-major). k/v are then projected
+    once per sample (f× less work) and the frame axis merges into the
+    query rows — a free reshape — so one sample's whole video attends its
+    single context (used by the VideoCrafter ST block)."""
 
     query_dim: int
     context_dim: Optional[int] = None
     heads: int = 8
     dim_head: int = 64
-    attend_axis_split: Optional[tuple[int, int]] = None
     policy: Policy = Policy()
 
     @nn.compact
@@ -202,46 +248,32 @@ class CrossAttention(nn.Module):
             param_dtype=self.policy.param_dtype,
         )
         ctx = x if context is None else context
-        q = _tokens_2d(dense(inner, "to_q", bias=False), x)
-        k = _tokens_2d(dense(inner, "to_k", bias=False), ctx)
-        v = _tokens_2d(dense(inner, "to_v", bias=False), ctx)
+        q = dense(inner, "to_q", bias=False)(x)
+        k = dense(inner, "to_k", bias=False)(ctx)
+        v = dense(inner, "to_v", bias=False)(ctx)
 
         b, n, _ = q.shape
         s = k.shape[1]
+        force = self.policy.attention_backend
         if context is None:
-            if self.attend_axis_split is not None:
-                _, ff = self.attend_axis_split
-                # attend across the f frame rows without leaving the
-                # resident token layout — the Pallas kernel swaps inside
-                # its VMEM blocks, so no frame-minor HBM relayouts
-                out = _temporal_attention_packed(
-                    q, k, v, self.heads, ff,
-                    force=self.policy.attention_backend,
-                )
-            else:
-                # self-attention: keep heads packed in the minor dim — the
-                # fused kernel path avoids the multihead fold transposes
-                out = _self_attention_packed(
-                    q, k, v, self.heads, force=self.policy.attention_backend
-                )
-        else:
+            # self-attention: keep heads packed in the minor dim — the
+            # fused kernel path avoids the multihead fold transposes
+            out = _self_attention_packed(q, k, v, self.heads, force=force)
+        elif k.shape[0] != b:
             cb = k.shape[0]
-            if cb != b:
-                # shared context: the caller passed ONE context row per
-                # sample while x carries b = cb·f frame rows (sample-major).
-                # k/v were projected once per sample (f× less work); merge
-                # the frame axis into the query rows — a free reshape — so
-                # one sample's whole video attends its single context.
-                f = b // cb
-                out = _cross_attention_packed(
-                    q.reshape(cb, f * n, inner), k, v, self.heads,
-                    force=self.policy.attention_backend,
-                ).reshape(b, n, inner)
-            else:
-                out = _cross_attention_packed(
-                    q, k, v, self.heads, force=self.policy.attention_backend
-                )
-        return _tokens_2d(dense(self.query_dim, "to_out"), out)
+            f = b // cb
+            out = _cross_attention_packed(
+                q.reshape(cb, f * n, inner), k, v, self.heads, force=force
+            ).reshape(b, n, inner)
+        else:
+            unfold = lambda t, length: t.reshape(
+                b, length, self.heads, self.dim_head
+            )
+            out = _attention_mh(
+                unfold(q, n), unfold(k, s), unfold(v, s), force=force
+            )
+            out = out.reshape(b, n, inner)
+        return dense(self.query_dim, "to_out")(out)
 
 
 class GEGLUFeedForward(nn.Module):
@@ -254,46 +286,34 @@ class GEGLUFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         inner = int(self.dim * self.mult)
-        proj = _tokens_2d(
-            nn.Dense(
-                inner * 2,
-                name="geglu",
-                dtype=self.policy.compute_dtype,
-                param_dtype=self.policy.param_dtype,
-            ),
-            x,
-        )
-        # combine the packed halves in one streaming pass
-        # (t2v.kernels.geglu): the mul mixes output column j with column
-        # j+inner, so XLA can't fold it into either GEMM's epilogue and
-        # runs it as a standalone ~half-bandwidth loop fusion. The kernel
-        # computes gelu in f32 per block — never materialising the doubled
-        # projection in f32 (6.75 GB at 1024×576 temporal blocks).
-        h = geglu_combine(proj)
-        return _tokens_2d(
-            nn.Dense(
-                self.dim,
-                name="out",
-                dtype=self.policy.compute_dtype,
-                param_dtype=self.policy.param_dtype,
-            ),
-            h,
-        )
+        proj = nn.Dense(
+            inner * 2,
+            name="geglu",
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+        )(x)
+        h, gate = jnp.split(proj, 2, axis=-1)
+        # gelu in compute dtype: the reference runs GEGLU under fp16
+        # autocast (t2v_pipeline.py:275), and an f32 upcast here forces XLA
+        # to materialise the doubled projection in f32 — 6.75 GB at
+        # 1024×576 temporal blocks (OOM on one chip)
+        h = h * jax.nn.gelu(gate, approximate=False)
+        return nn.Dense(
+            self.dim,
+            name="out",
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+        )(h)
 
 
 class BasicTransformerBlock(nn.Module):
-    """Pre-LN self + cross + GEGLU FF block (t2v_model.py:770-809).
-
-    ``attend_axis_split`` — see CrossAttention: per-token sublayers (LN,
-    projections, FF) run in the resident token layout; only the
-    self-attention cores attend across the split axis."""
+    """Pre-LN self + cross + GEGLU FF block (t2v_model.py:770-809)."""
 
     dim: int
     heads: int
     dim_head: int
     context_dim: Optional[int] = None
     disable_self_attn: bool = False
-    attend_axis_split: Optional[tuple[int, int]] = None
     policy: Policy = Policy()
 
     @nn.compact
@@ -309,7 +329,6 @@ class BasicTransformerBlock(nn.Module):
             context_dim=self.context_dim if self.disable_self_attn else None,
             heads=self.heads,
             dim_head=self.dim_head,
-            attend_axis_split=self.attend_axis_split,
             policy=self.policy,
             name="attn1",
         )
@@ -318,7 +337,6 @@ class BasicTransformerBlock(nn.Module):
             context_dim=self.context_dim,
             heads=self.heads,
             dim_head=self.dim_head,
-            attend_axis_split=self.attend_axis_split,
             policy=self.policy,
             name="attn2",
         )
@@ -352,15 +370,12 @@ class SpatialTransformer(nn.Module):
         x = GroupNorm32(eps=1e-6, policy=self.policy, name="norm")(x)
         x = x.reshape(bf, h * w, c)
         inner = self.heads * self.dim_head
-        x = _tokens_2d(
-            nn.Dense(
-                inner,
-                name="proj_in",
-                dtype=self.policy.compute_dtype,
-                param_dtype=self.policy.param_dtype,
-            ),
-            x,
-        )
+        x = nn.Dense(
+            inner,
+            name="proj_in",
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+        )(x)
         for d in range(self.depth):
             x = BasicTransformerBlock(
                 dim=inner,
@@ -370,22 +385,25 @@ class SpatialTransformer(nn.Module):
                 policy=self.policy,
                 name=f"block_{d}",
             )(x, context=context)
-        x = _tokens_2d(
-            nn.Dense(
-                self.channels,
-                name="proj_out",
-                kernel_init=nn.initializers.zeros,
-                dtype=self.policy.compute_dtype,
-                param_dtype=self.policy.param_dtype,
-            ),
-            x,
-        )
+        x = nn.Dense(
+            self.channels,
+            name="proj_out",
+            kernel_init=nn.initializers.zeros,
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+        )(x)
         return x.reshape(bf, h, w, c) + x_in
 
 
 class TemporalTransformer(nn.Module):
     """Attention over the frame axis (t2v_model.py:661-767),
-    use_linear=False (Conv1d k=1 ≡ per-frame Dense). Input ``(B, F, H, W, C)``."""
+    use_linear=False (Conv1d k=1 ≡ per-frame Dense). Input ``(B, F, H, W, C)``.
+
+    The block transposes to the ``(b·h·w, f, c)`` token layout in HBM and
+    runs everything there. The measured-slower alternatives — keeping the
+    block resident in spatial tokens with the frame swap inside the
+    attention kernel's VMEM blocks — are recorded in the module docstring's
+    perf history."""
 
     channels: int
     heads: int
@@ -399,46 +417,32 @@ class TemporalTransformer(nn.Module):
         b, f, h, w, c = x.shape
         x_in = x
         x = GroupNorm32(eps=1e-6, policy=self.policy, name="norm")(x)
-        # Stay in the canonical (b·f, h·w, c) token layout — the same one
-        # the spatial transformer uses. Every per-token op (projections,
-        # LayerNorms, FF) commutes with the frame<->space transpose, so only
-        # the attention cores see the (b·h·w, f, c) arrangement (see
-        # CrossAttention.attend_axis_split). Device-trace motivation: the
-        # previous whole-block transposed residency made XLA lay out every
-        # matmul token-minor (proj dots lowered as window-f convolutions,
-        # ~40x off MXU peak).
-        x = x.reshape(b * f, h * w, c)
+        # (b h w) f c token layout
+        x = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
         inner = self.heads * self.dim_head
-        x = _tokens_2d(
-            nn.Dense(
-                inner,
-                name="proj_in",
-                dtype=self.policy.compute_dtype,
-                param_dtype=self.policy.param_dtype,
-            ),
-            x,
-        )
+        x = nn.Dense(
+            inner,
+            name="proj_in",
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+        )(x)
         for d in range(self.depth):
             x = BasicTransformerBlock(
                 dim=inner,
                 heads=self.heads,
                 dim_head=self.dim_head,
                 context_dim=None,  # only_self_att=True (t2v_model.py:678-681)
-                attend_axis_split=(b, f),
                 policy=self.policy,
                 name=f"block_{d}",
             )(x)
-        x = _tokens_2d(
-            nn.Dense(
-                self.channels,
-                name="proj_out",
-                kernel_init=nn.initializers.zeros,
-                dtype=self.policy.compute_dtype,
-                param_dtype=self.policy.param_dtype,
-            ),
-            x,
-        )
-        x = x.reshape(b, f, h, w, c)
+        x = nn.Dense(
+            self.channels,
+            name="proj_out",
+            kernel_init=nn.initializers.zeros,
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+        )(x)
+        x = x.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
         if self.multiply_zero:
             return x_in
         return x + x_in

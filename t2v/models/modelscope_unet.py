@@ -287,15 +287,13 @@ class UNetSD(nn.Module):
         e = dense(cfg.embed_dim, "time_embed_0")(e.astype(p.compute_dtype))
         e = dense(cfg.embed_dim, "time_embed_2")(jax.nn.silu(e))
 
-        # repeat the time embedding per frame, matching torch
-        # repeat_interleave(f, dim=0) ordering (t2v_model.py:425-426). The
-        # text context is NOT repeated (the reference repeats it,
-        # t2v_model.py:425-426): all f frames of a sample share one
-        # context, so k/v projections and attention batching key off the
-        # per-sample rows — CrossAttention detects the smaller context
-        # batch and merges the frame axis into the query rows instead.
+        # repeat per frame, matching torch repeat_interleave(f, dim=0)
+        # ordering (t2v_model.py:425-426). The context IS repeated: the
+        # shared-context variant (k/v once per sample, frame axis merged
+        # into the query rows) benched 134 ms slower end-to-end bundled
+        # with its layout changes — see blocks.py's perf-history note.
         e_f = jnp.repeat(e, f, axis=0)
-        ctx_f = context.astype(p.compute_dtype)
+        ctx_f = jnp.repeat(context.astype(p.compute_dtype), f, axis=0)
 
         x = x.astype(p.compute_dtype).reshape(b * f, h, w, x.shape[-1])
 
