@@ -35,7 +35,7 @@ MAX_UPLOAD_BYTES = 1 << 30
 _INT_FIELDS = {
     "steps", "frames", "seed", "width", "height", "batch_count",
     "vid2vid_startFrame", "inpainting_frames", "fps",
-    "comma_padding_backtrack",
+    "comma_padding_backtrack", "cond_fps",
 }
 _FLOAT_FIELDS = {"cfg_scale", "eta", "strength"}
 _BOOL_FIELDS = {"do_vid2vid", "enable_emphasis"}

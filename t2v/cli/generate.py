@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inpainting-frames", type=int, default=0)
     p.add_argument("--inpainting-weights", default='0:(t/max_i_f), "max_i_f":(1)')
     p.add_argument(
+        "--cond-fps", type=int,
+        help="frame rate to condition on (FPS-conditioned VideoCrafter "
+        "models, reference sample_utils.py:65-71)",
+    )
+    p.add_argument(
         "--inpaint-mode", default="initial_only",
         choices=["initial_only", "progressive"],
         help="initial_only = reference parity (mask applied once to the "
@@ -65,7 +70,8 @@ def build_parser() -> argparse.ArgumentParser:
         "the standard uc + s*(c-uc)",
     )
     p.add_argument("--adapter-ckpt", help="T2I-Adapter checkpoint (VideoCrafter depth conditioning)")
-    p.add_argument("--adapter-video", help="depth-map video for the adapter (external MiDaS output)")
+    p.add_argument("--adapter-video", help="adapter input video: RGB when --depth-ckpt is given (depth computed in-pipeline), else precomputed depth maps")
+    p.add_argument("--depth-ckpt", help="midas_v21_small checkpoint for in-pipeline depth-from-RGB (reference get_batch_depth)")
 
     p.add_argument("--embeddings-dir", help="textual-inversion embeddings directory (A1111 .pt/.safetensors)")
     p.add_argument(
@@ -164,6 +170,7 @@ def main(argv=None) -> int:
         inpainting_image=ns.inpainting_image,
         inpainting_frames=ns.inpainting_frames,
         inpainting_weights=ns.inpainting_weights,
+        cond_fps=ns.cond_fps,
         comma_padding_backtrack=ns.comma_padding_backtrack,
         enable_emphasis=not ns.no_emphasis,
         model_type=ns.model_type,
@@ -227,6 +234,7 @@ def main(argv=None) -> int:
     result = run(
         args, out_args, pipe=pipe, outdir=ns.outdir,
         adapter_ckpt=ns.adapter_ckpt, adapter_video=ns.adapter_video,
+        depth_ckpt=ns.depth_ckpt,
         dp_shards=ns.dp_shards, tp_shards=ns.tp_shards, sp_shards=ns.sp_shards,
         deep_cache_interval=ns.deep_cache,
         keep_in_vram=not ns.no_keep_in_vram, inpaint_mode=ns.inpaint_mode,

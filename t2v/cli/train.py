@@ -237,6 +237,11 @@ def main(argv=None) -> int:
                     clip_cfg=clip_cfg,
                     model_family="videocrafter" if is_vc else "modelscope",
                     tokenizer_vocab=getattr(tok, "source_path", None),
+                    cond_stage2_params=(
+                        jax.device_get(pipe.cond_stage2_params)
+                        if getattr(pipe, "cond_stage2_params", None) is not None
+                        else None
+                    ),
                 )
             # full state (params + optimizer + EMA + step) for --resume.
             # LoRA runs use a distinct dir name: a train-state-only step_N/

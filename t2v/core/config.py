@@ -184,6 +184,11 @@ class T2VArgs:
     inpainting_image: str | None = None
     inpainting_frames: int = 0
     inpainting_weights: str = '0:(t/max_i_f), "max_i_f":(1)'
+    # FPS conditioning (VideoCrafter models with a cond_stage2 FPS
+    # embedder, sample_utils.py:65-71): the frame rate the sampled clip
+    # should depict. Required when the loaded model is FPS-conditioned;
+    # ignored otherwise.
+    cond_fps: int | None = None
     # prompt-processing settings — A1111 exposes these as global webui
     # options (opts.comma_padding_backtrack, opts.enable_emphasis,
     # clip_hardcode.py:153-156,203-214); here they ride the request

@@ -165,3 +165,57 @@ def vc_module_index(cfg: VideoCrafterUNetConfig) -> dict[str, tuple[tuple[str, .
                 idx[f"{tp}.ff.net.0.proj"] = (fp + ("ff", "geglu"), "linear")
                 idx[f"{tp}.ff.net.2"] = (fp + ("ff", "out"), "linear")
     return idx
+
+
+def convert_fps_embedder(other_sd: SD, cfg: VideoCrafterUNetConfig, policy=None):
+    """Map a checkpoint's ``cond_stage2_model.*`` weights onto the
+    t2v ``FPSEmbedder`` (sample_utils.py:65-71; the reference's bundled
+    LVDM does not ship the embedder class, so the expected layout is a
+    2-layer MLP over a sinusoidal fps embedding — any two Linear layers
+    found under the prefix are mapped in order). Falls back to a fresh
+    random init (with a warning) when the checkpoint carries no embedder
+    weights or their shapes don't fit."""
+    import jax
+
+    from t2v.core.dtypes import Policy
+    from t2v.models.videocrafter_unet import FPSEmbedder
+
+    policy = policy or Policy()
+    emb = FPSEmbedder(model_channels=cfg.model_channels, policy=policy)
+    want0 = (cfg.model_channels, cfg.model_channels * 4)
+    want2 = (cfg.model_channels * 4, cfg.model_channels * 4)
+
+    linears = []
+    for k in sorted(other_sd):
+        if k.startswith("cond_stage2_model.") and k.endswith(".weight"):
+            w = other_sd[k]
+            if getattr(w, "ndim", 0) == 2:
+                linears.append((k[: -len(".weight")], w))
+    if len(linears) == 2:
+        maps = {}
+        ok = True
+        for (path, w), name, want in zip(
+            linears, ("fps_embed_0", "fps_embed_2"), (want0, want2)
+        ):
+            kernel = np.ascontiguousarray(np.asarray(w).T)
+            if kernel.shape != want:
+                ok = False
+                break
+            bias = other_sd.get(f"{path}.bias")
+            maps[name] = {
+                "kernel": kernel,
+                "bias": np.asarray(bias) if bias is not None
+                else np.zeros(want[1], np.float32),
+            }
+        if ok:
+            return {"params": maps}
+    import warnings
+
+    warnings.warn(
+        "checkpoint declares cond_stage2 (FPS) conditioning but carries no "
+        "compatible cond_stage2_model weights; initialising the FPS "
+        "embedder randomly"
+    )
+    import jax.numpy as jnp
+
+    return jax.jit(emb.init)(jax.random.key(0), jnp.zeros((1,)))

@@ -36,6 +36,7 @@ def save_native(
     clip_cfg,
     model_family: str = "modelscope",
     tokenizer_vocab: str | None = None,
+    cond_stage2_params: Any = None,
 ) -> str:
     out_dir = os.path.abspath(out_dir)
     os.makedirs(out_dir, exist_ok=True)
@@ -43,6 +44,10 @@ def save_native(
     ckpt.save(os.path.join(out_dir, "unet"), unet_params, force=True)
     ckpt.save(os.path.join(out_dir, "vae"), vae_params, force=True)
     ckpt.save(os.path.join(out_dir, "clip"), clip_params, force=True)
+    if cond_stage2_params is not None:
+        ckpt.save(
+            os.path.join(out_dir, "cond_stage2"), cond_stage2_params, force=True
+        )
     if tokenizer_vocab and os.path.exists(tokenizer_vocab):
         # ship the BPE vocab so the native dir is self-contained; no-op when
         # saving over the dir the vocab came from (same-file copy raises)
@@ -191,9 +196,14 @@ def load_native(model_dir: str) -> dict[str, Any]:
             f"this build ({FORMAT_VERSION})"
         )
     ckpt = _checkpointer()
-    return {
+    out = {
         "meta": meta,
         "unet_params": ckpt.restore(os.path.join(model_dir, "unet")),
         "vae_params": ckpt.restore(os.path.join(model_dir, "vae")),
         "clip_params": ckpt.restore(os.path.join(model_dir, "clip")),
+        "cond_stage2_params": None,
     }
+    cs2 = os.path.join(model_dir, "cond_stage2")
+    if os.path.exists(cs2):
+        out["cond_stage2_params"] = ckpt.restore(cs2)
+    return out

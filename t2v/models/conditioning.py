@@ -58,7 +58,18 @@ def route_conditioning(
     k = conditioning_key
     cc_list = cond.get("c_concat")
     ca_list = cond.get("c_crossattn")
-    kwargs: dict = {"context": None, "y": None}
+    # the fps embedding rides the cond dict under the cond_stage2 key
+    # (sample_utils.py:71) and is forwarded for ANY conditioning key — the
+    # reference threads it through every branch's **kwargs
+    # (ddpm3d.py:1369-1433). The reference UNet then swallows it
+    # (openaimodel3d.py:632 **kwargs); ours consumes it at the
+    # time-embedding site (videocrafter_unet.py), the upstream-VideoCrafter
+    # convention, so FPS conditioning is functional.
+    kwargs: dict = {
+        "context": None,
+        "y": None,
+        "temporal_context": cond.get("temporal_context"),
+    }
 
     if k is None:
         pass

@@ -53,6 +53,9 @@ class VideoCrafterUNetConfig:
     use_relative_position: bool = True
     num_classes: Optional[int] = None  # class-conditional label_emb (adm)
     conditioning_key: str = "crossattn"  # DiffusionWrapper mode (ddpm3d.py:1362)
+    # second conditioning stage (FPS embedder): "temporal_context" enables
+    # cond_fps-driven generation (sample_utils.py:65-71); None = absent
+    cond_stage2_key: Optional[str] = None
     parameterization: str = "eps"  # "eps" | "x0" | "v" (ddpm3d.py:76-84)
     num_timesteps: int = 1000
     linear_start: float = 0.00085
@@ -81,6 +84,11 @@ class VideoCrafterUNetConfig:
             use_relative_position=u.get("use_relative_position", True),
             num_classes=u.get("num_classes"),
             conditioning_key=m.get("conditioning_key", "crossattn"),
+            cond_stage2_key=(
+                m.get("cond_stage2_key", "temporal_context")
+                if m.get("cond_stage2_config") is not None
+                else m.get("cond_stage2_key")
+            ),
             parameterization=m.get("parameterization", "eps"),
             num_timesteps=m.get("timesteps", 1000),
             linear_start=m.get("linear_start", 0.00085),
@@ -521,6 +529,33 @@ def build_vc_topology(cfg: VideoCrafterUNetConfig) -> VCTopology:
     return VCTopology(tuple(encoder), middle, tuple(decoder))
 
 
+class FPSEmbedder(nn.Module):
+    """``cond_stage2_model``: embeds the clip's frame rate into the
+    time-embedding width (sample_utils.py:65-71 builds it from
+    ``cond_stage2_config`` and calls it on ``{'fps': tensor}``; the
+    reference's bundled LVDM copy does not ship the class — the call is
+    getattr-guarded — so this follows the time_embed MLP convention:
+    sinusoidal(model_channels) → Dense → SiLU → Dense, producing a
+    (B, 4·model_channels) embedding added to the timestep embedding)."""
+
+    model_channels: int
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, fps):
+        p = self.policy
+        fps = jnp.asarray(fps, jnp.float32)
+        if fps.ndim == 0:
+            fps = fps[None]
+        e = B.sinusoidal_embedding(fps, self.model_channels)
+        dense = lambda name: nn.Dense(
+            self.model_channels * 4, name=name,
+            dtype=p.compute_dtype, param_dtype=p.param_dtype,
+        )
+        h = dense("fps_embed_0")(e.astype(p.compute_dtype))
+        return dense("fps_embed_2")(jax.nn.silu(h))
+
+
 class VideoCrafterUNet(nn.Module):
     """apply(params, x, t, context) — x: (B, T, H, W, C), context (B, L, D)."""
 
@@ -571,7 +606,8 @@ class VideoCrafterUNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x, t, context, features_adapter=None, y=None, time_emb_replace=None
+        self, x, t, context, features_adapter=None, y=None,
+        time_emb_replace=None, temporal_context=None,
     ):
         """features_adapter: optional tuple of per-scale feature maps
         (B, h_i, w_i, c_i) injected after every 3rd input block — the
@@ -579,7 +615,13 @@ class VideoCrafterUNet(nn.Module):
         y: class labels (B,) int or embedding (B, E) for adm conditioning
         (label_emb, openaimodel3d.py:650-652).
         time_emb_replace: precomputed (B, 4*model_channels) embedding that
-        replaces the timestep embedding (openaimodel3d.py:643-647)."""
+        replaces the timestep embedding (openaimodel3d.py:643-647).
+        temporal_context: FPS embedding (B|1, E) from ``FPSEmbedder``.
+        The reference UNet swallows this kwarg (openaimodel3d.py:632
+        ``**kwargs``; the ST transformer likewise, attention_temporal.py:
+        386); here it is consumed by adding it to the time embedding —
+        the upstream-VideoCrafter convention, making FPS conditioning
+        functional rather than inert."""
         cfg, p = self.cfg, self.policy
         topo = build_vc_topology(cfg)
         dense = lambda feats, name: nn.Dense(
@@ -604,6 +646,9 @@ class VideoCrafterUNet(nn.Module):
                 if y.shape[-1] != cfg.model_channels * 4:
                     lab = dense(cfg.model_channels * 4, "label_proj")(y.astype(p.compute_dtype))
             emb = emb + lab.astype(emb.dtype)
+        if temporal_context is not None:
+            # (1, E) broadcasts over the fused-CFG batch; see docstring
+            emb = emb + temporal_context.astype(emb.dtype)
 
         x = x.astype(p.compute_dtype)
         # context may be None (concat/adm conditioning keys): spatial

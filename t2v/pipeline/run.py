@@ -89,6 +89,8 @@ def run(
     error_video_on_failure: bool = False,
     adapter_ckpt: Optional[str] = None,
     adapter_video: Optional[str] = None,
+    depth_ckpt: Optional[str] = None,
+    depth_estimator=None,  # injectable (N,384,384,3)->(N,h,w) callable
     dp_shards: int = 1,
     tp_shards: int = 1,
     sp_shards: int = 1,
@@ -170,27 +172,45 @@ def run(
         is_vid2vid = True
 
     # depth-adapter conditioning (VideoCrafter; the reference's separate
-    # sample_text2video_adapter.py CLI). Depth maps are supplied as a video
-    # (grayscale or RGB — first channel used); MiDaS estimation is external.
+    # sample_text2video_adapter.py CLI). With depth_ckpt/depth_estimator
+    # the video is ORDINARY RGB and depth is computed in-pipeline —
+    # reference behaviour (get_batch_depth, sample_text2video_adapter.py:
+    # 113, ddpm3d.py:1443-1466). Without one, the video is treated as
+    # precomputed depth maps (grayscale or RGB — first channel used).
     features_adapter = None
     if adapter_ckpt and not isinstance(pipe, ModelScopePipeline):
         adapter, adapter_params = pipe.load_adapter(adapter_ckpt)
         if not adapter_video:
-            raise ValueError("adapter_ckpt requires adapter_video (depth maps)")
+            raise ValueError(
+                "adapter_ckpt requires adapter_video (an RGB video when "
+                "depth_ckpt is set, else precomputed depth maps)"
+            )
         import cv2
 
         dframes = vid2frames(adapter_video, start_frame=0, end_frame=args.frames)
         if len(dframes) < args.frames:
             raise ValueError(
-                f"depth video supplied {len(dframes)} frames, need {args.frames}"
+                f"adapter video supplied {len(dframes)} frames, need {args.frames}"
             )
-        d = np.stack(
-            [cv2.resize(f, (args.width, args.height)) for f in dframes]
-        ).astype(np.float32)[..., :1]
-        # per-frame min/max → [-1, 1] (get_batch_depth, ddpm3d.py:1462-1464)
-        dmin = d.min(axis=(1, 2, 3), keepdims=True)
-        dmax = d.max(axis=(1, 2, 3), keepdims=True)
-        d = 2.0 * (d - dmin) / (dmax - dmin + 1e-7) - 1.0
+        if depth_ckpt or depth_estimator is not None:
+            from t2v.models.depth import DepthStage
+
+            stage = (
+                DepthStage(estimator=depth_estimator)
+                if depth_estimator is not None
+                else DepthStage.from_checkpoint(depth_ckpt)
+            )
+            d = stage.video_depth(
+                np.stack(dframes), (args.height, args.width)
+            ).astype(np.float32)
+        else:
+            d = np.stack(
+                [cv2.resize(f, (args.width, args.height)) for f in dframes]
+            ).astype(np.float32)[..., :1]
+            # per-frame min/max → [-1, 1] (get_batch_depth, ddpm3d.py:1462-1464)
+            dmin = d.min(axis=(1, 2, 3), keepdims=True)
+            dmax = d.max(axis=(1, 2, 3), keepdims=True)
+            d = 2.0 * (d - dmin) / (dmax - dmin + 1e-7) - 1.0
         features_adapter = pipe.adapter_features(adapter, adapter_params, d[None])
 
     from t2v.core import rng as rng_lib
@@ -486,9 +506,11 @@ def _run_dp(
         cond, uncond = conditioning.cond, conditioning.uncond
         sampler = args.sampler
         cfg_combine_mode = None
+        tc = None
     else:
         cond = pipe.encode_text([args.prompt])
         uncond = pipe.encode_text([args.n_prompt])
+        tc = pipe._resolve_temporal_context(args)
         # respect the requested VC chain (sample_utils.py:56-87); 'ddpm'
         # was filtered to the serial loop by the caller
         sampler = {"ddim": "DDIM", "dpm++ 2m": "DPM++ 2M"}[vc_sample_type]
@@ -503,38 +525,36 @@ def _run_dp(
               float(args.cfg_scale), float(args.eta),
               dp_shards, tp_shards, sp_shards,
               latents is not None, is_vid2vid, strength if is_vid2vid else None,
-              mask is not None, inpaint_mode, cfg_combine_mode)
+              mask is not None, inpaint_mode, cfg_combine_mode,
+              tc is not None)
+    dp_only_mesh = mesh is not None and tp_shards == 1 and sp_shards == 1
     fn = pipe._sample_cache.get(static)
     if fn is None:
         unet = pipe.unet
-        if mesh is not None:
-            # Mosaic custom calls can't be SPMD-partitioned — sharded
-            # q/k/v would be gathered full-size per shard. Force the
-            # plain-XLA attention path, which partitions cleanly.
+        if mesh is not None and not dp_only_mesh:
+            # tp/sp meshes rely on GSPMD partitioning inside the model
+            # (Megatron all-reduce, frame all-gather) and Mosaic custom
+            # calls can't be SPMD-partitioned — force the plain-XLA
+            # attention path there. dp-only meshes run each shard's full
+            # loop under jax.shard_map instead (dp_sample.py), where the
+            # Pallas kernels stay live on the local batch.
             import dataclasses as _dc
 
             unet = unet.clone(
                 policy=_dc.replace(unet.policy, attention_backend="xla")
             )
 
-        def f(params, cond, uncond, noise, latents, mask, image_latents):
+        def f(params, cond, uncond, noise, latents, mask, image_latents, tcond):
             if is_ms:
                 def apply_fn(x, t, c):
                     return unet.apply(params, x, t, c)
             else:
-                ck = pipe.cfg.conditioning_key
-                from t2v.models.conditioning import (
-                    normalize_cond,
-                    route_conditioning,
-                )
+                from t2v.pipeline.videocrafter import _routed_apply
 
-                def apply_fn(x, t, c):
-                    cd = normalize_cond(ck, c)
-                    x2, kw = route_conditioning(ck, x, cd)
-                    return unet.apply(
-                        params, x2, t, kw["context"],
-                        features_adapter=features_adapter, y=kw["y"],
-                    )
+                apply_fn = _routed_apply(
+                    unet, pipe.cfg.conditioning_key, params,
+                    features_adapter, tcond,
+                )
 
             return dp_sample(
                 apply_fn, pipe.schedule, steps=steps,
@@ -545,6 +565,7 @@ def _run_dp(
                 latents=latents, is_vid2vid=is_vid2vid, strength=strength,
                 mask=mask, image_latents=image_latents,
                 inpaint_mode=inpaint_mode, cfg_combine_mode=cfg_combine_mode,
+                use_shard_map=dp_only_mesh,
                 parameterization=(
                     pipe.unet_cfg if is_ms else pipe.cfg
                 ).parameterization,
@@ -570,7 +591,7 @@ def _run_dp(
             from t2v.parallel.sharding import shard_params
 
             unet_params = shard_params(unet_params, mesh)
-    x0 = fn(unet_params, cond, uncond, noise, latents, mask, image_latents)
+    x0 = fn(unet_params, cond, uncond, noise, latents, mask, image_latents, tc)
     x0.block_until_ready()
     if job_state is not None:
         job_state.sampling_step = steps

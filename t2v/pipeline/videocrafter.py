@@ -41,6 +41,26 @@ from t2v.text.tokenizer import CLIPTokenizer
 DECODE_CHUNK = 8
 
 
+def _routed_apply(unet, ck, params, feats, tc):
+    """(x, t, ctx) -> model output, routing ctx through the conditioning
+    key (DiffusionWrapper semantics, ddpm3d.py:1362-1433). ``tc`` is the
+    FPS ``temporal_context`` embedding carried by the cond dict
+    (sample_utils.py:71)."""
+    from t2v.models.conditioning import normalize_cond, route_conditioning
+
+    def apply_fn(x, t, ctx):
+        cond = normalize_cond(ck, ctx)
+        if tc is not None:
+            cond["temporal_context"] = tc
+        x2, kw = route_conditioning(ck, x, cond)
+        return unet.apply(
+            params, x2, t, kw["context"], features_adapter=feats,
+            y=kw["y"], temporal_context=kw["temporal_context"],
+        )
+
+    return apply_fn
+
+
 @dataclass
 class VideoCrafterPipeline:
     cfg: VideoCrafterUNetConfig
@@ -55,6 +75,8 @@ class VideoCrafterPipeline:
     clip_params: Any
     tokenizer: Optional[CLIPTokenizer]
     schedule: DiffusionSchedule
+    # cond_stage2 (FPS embedder) params when cfg.cond_stage2_key is set
+    cond_stage2_params: Any = None
     _decode_fn: Any = field(default=None, repr=False)
     _encode_fn: Any = field(default=None, repr=False)
     _encode_text_fn: Any = field(default=None, repr=False)
@@ -81,6 +103,13 @@ class VideoCrafterPipeline:
         vae_params = jax.jit(vae.init)(jax.random.key(seed + 1), jnp.zeros((1, 32, 32, 3)))
         clip = CLIPTextTransformer(cfg=clip_cfg, policy=policy)
         clip_params = jax.jit(clip.init)(jax.random.key(seed + 2), jnp.zeros((1, 77), jnp.int32))
+        cs2_params = None
+        if cfg.cond_stage2_key == "temporal_context":
+            from t2v.models.videocrafter_unet import FPSEmbedder
+
+            cs2_params = jax.jit(
+                FPSEmbedder(model_channels=cfg.model_channels, policy=policy).init
+            )(jax.random.key(seed + 3), jnp.zeros((1,)))
         return cls(
             cfg=cfg, vae_cfg=vae_cfg, clip_cfg=clip_cfg, policy=policy,
             unet=unet, vae=vae, clip=clip,
@@ -89,6 +118,7 @@ class VideoCrafterPipeline:
             schedule=DiffusionSchedule.from_betas(
                 beta_schedule("linear", cfg.num_timesteps, cfg.linear_start, cfg.linear_end)
             ),
+            cond_stage2_params=cs2_params,
         )
 
     def load_lora(self, lora_path: str, scale: float = 1.0) -> list[str]:
@@ -144,6 +174,13 @@ class VideoCrafterPipeline:
         tokenizer = CLIPTokenizer.find_and_load(
             model_dir, os.path.dirname(model_dir)
         )
+        cs2 = data.get("cond_stage2_params")
+        if cs2 is None and cfg.cond_stage2_key == "temporal_context":
+            from t2v.models.videocrafter_unet import FPSEmbedder
+
+            cs2 = jax.jit(
+                FPSEmbedder(model_channels=cfg.model_channels, policy=policy).init
+            )(jax.random.key(0), jnp.zeros((1,)))
         return cls(
             cfg=cfg, vae_cfg=vae_cfg, clip_cfg=clip_cfg, policy=policy,
             unet=unet, vae=vae, clip=clip,
@@ -153,6 +190,9 @@ class VideoCrafterPipeline:
             tokenizer=tokenizer,
             schedule=DiffusionSchedule.from_betas(
                 beta_schedule("linear", cfg.num_timesteps, cfg.linear_start, cfg.linear_end)
+            ),
+            cond_stage2_params=(
+                _cast(cs2, policy.param_dtype) if cs2 is not None else None
             ),
         )
 
@@ -245,6 +285,13 @@ class VideoCrafterPipeline:
         tokenizer = CLIPTokenizer.find_and_load(
             os.path.dirname(ckpt_path), os.path.dirname(os.path.dirname(ckpt_path))
         )
+        cs2_params = None
+        if cfg.cond_stage2_key == "temporal_context":
+            from t2v.io.convert_vc import convert_fps_embedder
+
+            cs2_params = convert_fps_embedder(
+                parts["other"], cfg, policy=policy
+            )
         pipe = cls(
             cfg=cfg, vae_cfg=vae_cfg, clip_cfg=clip_cfg, policy=policy,
             unet=unet, vae=vae, clip=clip,
@@ -253,6 +300,7 @@ class VideoCrafterPipeline:
             schedule=DiffusionSchedule.from_betas(
                 beta_schedule("linear", cfg.num_timesteps, cfg.linear_start, cfg.linear_end)
             ),
+            cond_stage2_params=cs2_params,
         )
         if lora_path:
             skipped = pipe.load_lora(lora_path, lora_scale)
@@ -310,7 +358,8 @@ class VideoCrafterPipeline:
         """Per-frame adapter feature pyramid (ddpm3d.py:1470-1484 'process
         in 2D manner'). depth_video: (B, T, H, W, C) in [-1, 1] — depth maps
         normalised per frame like get_batch_depth (ddpm3d.py:1449-1466);
-        depth *estimation* (MiDaS) is external to this framework.
+        depth *estimation* from RGB lives in t2v.models.depth (MidasSmall /
+        DepthStage — run() wires it via depth_ckpt/depth_estimator).
 
         Frames fold into the batch axis for one vectorised adapter pass —
         the TPU replacement for the reference's encode_bs=1 chunk loop."""
@@ -330,28 +379,49 @@ class VideoCrafterPipeline:
             f.reshape((b, t) + f.shape[1:]) for f in feats
         )
 
-    def make_apply_fn(self, features_adapter=None):
+    def embed_fps(self, fps) -> jax.Array:
+        """Run the cond_stage2 FPS embedder (sample_utils.py:69-70) —
+        returns the (1, 4·model_channels) ``temporal_context`` embedding."""
+        from t2v.models.videocrafter_unet import FPSEmbedder
+
+        if self.cond_stage2_params is None:
+            raise ValueError(
+                "this model has no cond_stage2 FPS embedder "
+                "(cfg.cond_stage2_key is unset)"
+            )
+        fn = self._sample_cache.get("fps_embed")
+        if fn is None:
+            emb = FPSEmbedder(
+                model_channels=self.cfg.model_channels, policy=self.policy
+            )
+            fn = jax.jit(emb.apply)
+            self._sample_cache["fps_embed"] = fn
+        return fn(self.cond_stage2_params, jnp.asarray([float(fps)]))
+
+    def _resolve_temporal_context(self, args: T2VArgs):
+        """cond_fps → fps embedding when the model is FPS-conditioned
+        (get_conditions asserts cond_fps is given, sample_utils.py:66-71)."""
+        if self.cfg.cond_stage2_key != "temporal_context":
+            return None
+        if args.cond_fps is None:
+            raise ValueError(
+                "this VideoCrafter model is FPS-conditioned: set cond_fps "
+                "(reference sample_utils.py:68 asserts it)"
+            )
+        return self.embed_fps(args.cond_fps)
+
+    def make_apply_fn(self, features_adapter=None, temporal_context=None):
         """(x, t, ctx) -> eps, routing ctx through the model's
         conditioning_key (DiffusionWrapper semantics, ddpm3d.py:1362-1433)
-        with optional T2I-Adapter feature injection."""
-        from t2v.models.conditioning import normalize_cond, route_conditioning
-
+        with optional T2I-Adapter feature injection and FPS embedding."""
         unet, params, ck = self.unet, self.unet_params, self.cfg.conditioning_key
-
-        def apply_fn(x, t, ctx):
-            cond = normalize_cond(ck, ctx)
-            x2, kw = route_conditioning(ck, x, cond)
-            return unet.apply(
-                params, x2, t, kw["context"],
-                features_adapter=features_adapter, y=kw["y"],
-            )
-
-        return apply_fn
+        return _routed_apply(unet, ck, params, features_adapter, temporal_context)
 
     def apply_model(self, x, t, cond, features_adapter=None):
         """Reference ``LatentDiffusion.apply_model`` equivalent
         (ddpm3d.py:849-865): cond may be a bare context array, a list, or a
-        conditioning dict with c_concat/c_crossattn/c_adm/s keys."""
+        conditioning dict with c_concat/c_crossattn/c_adm/s/
+        temporal_context keys."""
         from t2v.models.conditioning import normalize_cond, route_conditioning
 
         ck = self.cfg.conditioning_key
@@ -359,6 +429,7 @@ class VideoCrafterPipeline:
         return self.unet.apply(
             self.unet_params, x2, t, kw["context"],
             features_adapter=features_adapter, y=kw["y"],
+            temporal_context=kw["temporal_context"],
         )
 
     def infer(
@@ -384,8 +455,11 @@ class VideoCrafterPipeline:
 
         cond = self.encode_text([args.prompt])
         uncond = self.encode_text([args.n_prompt])
+        tc = self._resolve_temporal_context(args)
 
-        apply_fn = self.make_apply_fn(features_adapter=features_adapter)
+        apply_fn = self.make_apply_fn(
+            features_adapter=features_adapter, temporal_context=tc
+        )
 
         # sampler selection: "ddim" | "ddpm" mirror the reference
         # (sample_utils.py:56-87); "dpm++ 2m" is the beyond-reference
@@ -425,24 +499,12 @@ class VideoCrafterPipeline:
             unet, ck = self.unet, self.cfg.conditioning_key
             base_static = (
                 "dpmpp-win", args.steps, shape, float(args.cfg_scale),
-                features_adapter is not None,
+                features_adapter is not None, tc is not None,
             )
 
             def build_dpm_window(n):
-                def f(params, x, d_prev, off, cond, uncond, feats):
-                    from t2v.models.conditioning import (
-                        normalize_cond,
-                        route_conditioning,
-                    )
-
-                    def apply(xx, tt, cc):
-                        c = normalize_cond(ck, cc)
-                        x2, kw = route_conditioning(ck, xx, c)
-                        return unet.apply(
-                            params, x2, tt, kw["context"],
-                            features_adapter=feats, y=kw["y"],
-                        )
-
+                def f(params, x, d_prev, off, cond, uncond, feats, tcond):
+                    apply = _routed_apply(unet, ck, params, feats, tcond)
                     model_fn = _unipc_model_fn(
                         apply, cond, uncond, args.cfg_scale, p,
                         parameterization=self.cfg.parameterization,
@@ -463,7 +525,7 @@ class VideoCrafterPipeline:
                     self._sample_cache[fkey] = fn
                 x, d_prev = fn(
                     self.unet_params, x, d_prev, done, cond, uncond,
-                    features_adapter,
+                    features_adapter, tc,
                 )
                 jax.block_until_ready(x)
                 done += n
@@ -478,27 +540,15 @@ class VideoCrafterPipeline:
             static = (
                 args.steps, shape, float(args.cfg_scale), float(args.eta),
                 mask is not None, uc_type, features_adapter is not None,
-                sampler_name,
+                sampler_name, tc is not None,
             )
             fn = self._sample_cache.get(static)
             if fn is None:
                 unet, ck = self.unet, self.cfg.conditioning_key
                 inpaint = "lvdm_static" if mask is not None else "initial_only"
 
-                def f(params, key, cond, uncond, mask, source_latents, feats):
-                    from t2v.models.conditioning import (
-                        normalize_cond,
-                        route_conditioning,
-                    )
-
-                    def apply(x, t, ctx):
-                        c = normalize_cond(ck, ctx)
-                        x2, kw = route_conditioning(ck, x, c)
-                        return unet.apply(
-                            params, x2, t, kw["context"],
-                            features_adapter=feats, y=kw["y"],
-                        )
-
+                def f(params, key, cond, uncond, mask, source_latents, feats, tcond):
+                    apply = _routed_apply(unet, ck, params, feats, tcond)
                     return sample_loop(
                         apply, self.schedule, steps=args.steps, shape=shape,
                         cond=cond, uncond=uncond,
@@ -513,7 +563,7 @@ class VideoCrafterPipeline:
                 self._sample_cache[static] = fn
             x0 = fn(
                 self.unet_params, key, cond, uncond, mask, source_latents,
-                features_adapter,
+                features_adapter, tc,
             )
         else:
             # windowed interrupt-capable path, params as a jit argument
@@ -534,24 +584,14 @@ class VideoCrafterPipeline:
                 "window", args.steps, shape, float(args.cfg_scale),
                 float(args.eta), inpaint, uc_type,
                 mask is not None, features_adapter is not None,
+                tc is not None,
             )
 
             def build_window(n):
                 def build():
-                    def f(params, x, start, cond, uncond, mask, src, feats, wkey):
-                        from t2v.models.conditioning import (
-                            normalize_cond,
-                            route_conditioning,
-                        )
-
-                        def apply(xx, tt, cc):
-                            c = normalize_cond(ck, cc)
-                            x2, kw = route_conditioning(ck, xx, c)
-                            return unet.apply(
-                                params, x2, tt, kw["context"],
-                                features_adapter=feats, y=kw["y"],
-                            )
-
+                    def f(params, x, start, cond, uncond, mask, src, feats,
+                          tcond, wkey):
+                        apply = _routed_apply(unet, ck, params, feats, tcond)
                         body = make_step_body(
                             mod, p, apply, cond, uncond, args.cfg_scale,
                             wkey, args.eta, mask, src, inpaint,
@@ -574,7 +614,7 @@ class VideoCrafterPipeline:
                     self._sample_cache[fkey] = fn
                 x = fn(
                     self.unet_params, x, done, cond, uncond, mask,
-                    source_latents, features_adapter, key,
+                    source_latents, features_adapter, tc, key,
                 )
                 x.block_until_ready()
                 done += n

@@ -476,3 +476,126 @@ class TestDiagonalGaussian:
         det = DiagonalGaussian(m, lv, deterministic=True)
         np.testing.assert_array_equal(np.asarray(det.sample(noise=noise)), np.asarray(m))
         assert np.all(np.asarray(det.kl()) == 0)
+
+
+class TestFPSConditioning:
+    """cond_stage2 FPS conditioning (reference sample_utils.py:65-71):
+    cond_fps → FPSEmbedder → temporal_context in the cond dict → routed to
+    the UNet (the reference UNet swallows the kwarg, openaimodel3d.py:632;
+    ours adds it to the time embedding so it is functional)."""
+
+    def _fps_pipe(self):
+        import dataclasses
+
+        import jax
+
+        from t2v.models.videocrafter_unet import VideoCrafterUNetConfig
+
+        cfg = dataclasses.replace(
+            VideoCrafterUNetConfig().tiny(), cond_stage2_key="temporal_context"
+        )
+        pipe = VideoCrafterPipeline.random_init(cfg=cfg)
+        # zero-init gates block signal flow at random init
+        pipe.unet_params = jax.tree.map(
+            lambda a: a + 0.01 if a.size and not np.asarray(a).any() else a,
+            pipe.unet_params,
+        )
+        return pipe
+
+    def test_cond_fps_changes_output(self):
+        pipe = self._fps_pipe()
+        args = T2VArgs(
+            prompt="a cat", n_prompt="bad", steps=3, frames=2,
+            width=32, height=32, seed=5,
+        )
+        a = pipe.infer(args.replace(cond_fps=8))
+        b = pipe.infer(args.replace(cond_fps=30))
+        same = pipe.infer(args.replace(cond_fps=8))
+        assert not np.allclose(
+            np.asarray(a.latents), np.asarray(b.latents)
+        ), "cond_fps is inert"
+        np.testing.assert_allclose(
+            np.asarray(a.latents), np.asarray(same.latents), atol=1e-6
+        )
+
+    def test_missing_cond_fps_raises(self):
+        pipe = self._fps_pipe()
+        args = T2VArgs(
+            prompt="x", steps=2, frames=2, width=32, height=32, seed=1
+        )
+        with pytest.raises(ValueError, match="FPS-conditioned"):
+            pipe.infer(args)
+
+    def test_unconditioned_model_ignores_cond_fps(self):
+        pipe = VideoCrafterPipeline.random_init()
+        args = T2VArgs(
+            prompt="x", steps=2, frames=2, width=32, height=32, seed=1,
+            cond_fps=12,
+        )
+        res = pipe.infer(args)  # no cond_stage2 → cond_fps is ignored
+        assert len(res.frames) == 2
+
+    def test_yaml_declares_cond_stage2(self):
+        from t2v.models.videocrafter_unet import VideoCrafterUNetConfig
+
+        yaml_cfg = {
+            "model": {
+                "params": {
+                    "unet_config": {
+                        "params": {
+                            "in_channels": 4, "out_channels": 4,
+                            "model_channels": 32, "num_res_blocks": 1,
+                            "attention_resolutions": [1],
+                            "channel_mult": [1, 2], "num_heads": 2,
+                            "context_dim": 32,
+                        }
+                    },
+                    "cond_stage2_config": {"target": "lvdm...FPSEmbedder"},
+                }
+            }
+        }
+        cfg = VideoCrafterUNetConfig.from_yaml_dict(yaml_cfg)
+        assert cfg.cond_stage2_key == "temporal_context"
+
+    def test_router_forwards_temporal_context(self):
+        import jax.numpy as jnp
+
+        from t2v.models.conditioning import route_conditioning
+
+        x = jnp.zeros((1, 2, 4, 4, 4))
+        tc = jnp.ones((1, 8))
+        cond = {
+            "c_concat": [jnp.zeros((1, 2, 4, 4, 4))],
+            "c_crossattn": [jnp.zeros((1, 77, 32))],
+            "s": jnp.asarray([8]),
+            "temporal_context": tc,
+        }
+        x2, kw = route_conditioning("hybrid-time", x, cond)
+        assert kw["temporal_context"] is tc
+        assert x2.shape[-1] == 8
+
+    def test_windowed_paths_carry_fps(self):
+        """The DDIM window and DPM++ window jits take the fps embedding as
+        a real argument (no constant-baking, no cache collisions)."""
+        from t2v.core.state import JobState
+
+        pipe = self._fps_pipe()
+        args = T2VArgs(
+            prompt="a cat", n_prompt="bad", steps=4, frames=2,
+            width=32, height=32, seed=5, cond_fps=16,
+        )
+        ref = pipe.infer(args)
+        st = JobState()
+        st.begin_job(0, 1, 4)
+        out = pipe.infer(
+            args, callback=st.step_callback, callback_interval=2
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.latents), np.asarray(ref.latents), atol=1e-4
+        )
+        # a different fps through the SAME cached executables must differ
+        out2 = pipe.infer(
+            args.replace(cond_fps=2),
+            callback=st.step_callback, callback_interval=2,
+        )
+        assert not np.allclose(np.asarray(out.latents), np.asarray(out2.latents))
