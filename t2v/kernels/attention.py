@@ -126,6 +126,12 @@ def self_attention_packed(
     b, n, hd = q.shape
     dh = hd // heads
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if force == "fused_interpret":
+        # test-only: run the Pallas kernel in interpret mode on CPU (e.g.
+        # inside shard_map on the virtual mesh, tests/test_dp_sample.py)
+        from t2v.kernels.fused_mha import fused_self_mha
+
+        return fused_self_mha(q, k, v, heads=heads, scale=scale, interpret=True)
     if force is None and on_tpu and n < FLASH_MIN_KV and hd % heads == 0:
         return _fused_self_diff(q, k, v, heads, scale)
     unfold = lambda t: t.reshape(b, n, heads, dh)
@@ -196,6 +202,12 @@ def temporal_attention_packed(
     self-attention dispatch."""
     bf, n, hd = q.shape
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if force == "fused_interpret":
+        from t2v.kernels.fused_mha import fused_temporal_mha
+
+        return fused_temporal_mha(
+            q, k, v, heads=heads, f=f, scale=scale, interpret=True
+        )
     if force is None and on_tpu and f < FLASH_MIN_KV and hd % heads == 0:
         return _fused_temporal_diff(q, k, v, heads, f, scale)
     return _unswap_frame_axis(
@@ -258,6 +270,10 @@ def cross_attention_packed(
     s = k.shape[1]
     dh = hd // heads
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if force == "fused_interpret":
+        from t2v.kernels.fused_mha import fused_cross_mha
+
+        return fused_cross_mha(q, k, v, heads=heads, scale=scale, interpret=True)
     if force is None and on_tpu and s < FLASH_MIN_KV and hd % heads == 0:
         return _fused_cross_diff(q, k, v, heads, scale)
     unfoldq = q.reshape(b, n, heads, dh)

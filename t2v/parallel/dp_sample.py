@@ -89,12 +89,25 @@ def dp_sample(
     image_latents=None,  # (1, F, h, w, C) clean source latents
     inpaint_mode: str = "initial_only",
     cfg_combine_mode: Optional[str] = None,  # LVDM uc_type variants
+    use_shard_map: bool = False,
 ):
     """Sample n videos in one sharded computation. Returns (n, F, H, W, C).
 
     With a mesh, noise is placed sharded over ``dp`` along the batch axis
     and the sharding propagates through the scan; without one it is a plain
     batched sample.
+
+    ``use_shard_map=True`` (dp-ONLY meshes) runs the whole per-shard
+    sampling loop inside ``jax.shard_map`` instead of relying on GSPMD
+    propagation. Sampling is embarrassingly parallel over the batch, so
+    the shards need no collectives — and, crucially, the Pallas attention
+    kernels (Mosaic custom calls, which GSPMD cannot partition) run
+    unchanged on each shard's local batch. Bit-parity with the GSPMD/serial
+    paths holds wherever no in-loop noise is drawn (eta == 0,
+    initial_only inpainting); ancestral draws fold the shard index into
+    the key so shards decorrelate. tp/sp meshes need cross-device
+    collectives inside the model (Megatron all-reduce, frame all-gather) —
+    those stay on GSPMD with the XLA attention path.
 
     vid2vid (``latents`` + ``is_vid2vid``) and inpainting (``latents`` as
     the per-sample masked init, plus ``mask``/``image_latents``) ride the
@@ -126,6 +139,24 @@ def dp_sample(
                 f"latents batch {latents.shape[0]} incompatible with "
                 f"n_samples={n_samples} (is_vid2vid={is_vid2vid})"
             )
+    dp_only = (
+        use_shard_map
+        and mesh is not None
+        and mesh.shape.get("dp", 1) > 1
+        and all(sz == 1 for ax, sz in mesh.shape.items() if ax != "dp")
+        and n_samples % mesh.shape["dp"] == 0
+    )
+    if dp_only:
+        return _dp_shard_map_sample(
+            apply_fn, schedule, steps=steps, sample_shape=sample_shape,
+            n_samples=n_samples, cond_b=cond_b, uncond_b=uncond_b,
+            guidance_scale=guidance_scale, eta=eta,
+            sampler_name=sampler_name, seed=seed, mesh=mesh, noise=noise,
+            parameterization=parameterization, latents=latents,
+            is_vid2vid=is_vid2vid, strength=strength, mask=mask,
+            image_latents=image_latents, inpaint_mode=inpaint_mode,
+            cfg_combine_mode=cfg_combine_mode,
+        )
     x0 = sample_loop(
         apply_fn,
         schedule,
@@ -150,3 +181,72 @@ def dp_sample(
         parameterization=parameterization,
     )
     return x0
+
+
+def _dp_shard_map_sample(
+    apply_fn, schedule, *, steps, sample_shape, n_samples, cond_b, uncond_b,
+    guidance_scale, eta, sampler_name, seed, mesh, noise, parameterization,
+    latents, is_vid2vid, strength, mask, image_latents, inpaint_mode,
+    cfg_combine_mode,
+):
+    """The dp-only shard_map execution (see ``dp_sample``): each device
+    runs the FULL sampling loop on its local batch shard — no GSPMD
+    partitioning constraints, so the Pallas attention kernels stay live."""
+    from jax import shard_map
+
+    ndp = mesh.shape["dp"]
+    n_local = n_samples // ndp
+    key = rng_lib.key_for_seed(seed)
+
+    def bspec(t):
+        # batch axis sits at ndim-3 for conditioning ((B, L, D) or
+        # per-step (S, B, L, D) tables)
+        return P(*([None] * (t.ndim - 3) + ["dp"]))
+
+    operands = {"noise": noise, "cond": cond_b}
+    specs = {"noise": P("dp"), "cond": bspec(cond_b)}
+    if uncond_b is not None:
+        operands["uncond"] = uncond_b
+        specs["uncond"] = bspec(uncond_b)
+    if latents is not None:
+        operands["latents"] = latents
+        specs["latents"] = P("dp") if latents.shape[0] == n_samples else P()
+    if mask is not None:
+        operands["mask"] = mask
+        specs["mask"] = P()
+    if image_latents is not None:
+        operands["image_latents"] = image_latents
+        specs["image_latents"] = P()
+
+    def local(ops):
+        # decorrelate ancestral draws across shards; eta == 0 draws nothing
+        shard_key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+        return sample_loop(
+            apply_fn,
+            schedule,
+            steps=steps,
+            shape=(n_local,) + tuple(sample_shape),
+            cond=ops["cond"],
+            uncond=ops.get("uncond"),
+            guidance_scale=guidance_scale,
+            eta=eta,
+            sampler_name=sampler_name,
+            key=shard_key,
+            noise=ops["noise"],
+            latents=ops.get("latents"),
+            is_vid2vid=is_vid2vid,
+            strength=strength,
+            mask=ops.get("mask"),
+            image_latents=ops.get("image_latents"),
+            inpaint_mode=inpaint_mode,
+            cfg_combine_mode=cfg_combine_mode,
+            parameterization=parameterization,
+        )
+
+    # check_vma=False: Pallas calls don't annotate varying-mesh-axes
+    # metadata, and the body is embarrassingly parallel (no collectives),
+    # so replication checking has nothing to verify anyway
+    return shard_map(
+        local, mesh=mesh, in_specs=(specs,), out_specs=P("dp"),
+        check_vma=False,
+    )(operands)
