@@ -115,6 +115,7 @@ def create_app(pipe=None, models_root: Optional[str] = None):
         inpainting_image: Union[UploadFile, None] = None,
         inpainting_frames: Union[int, None] = None,
         inpainting_weights: Union[str, None] = None,
+        cond_fps: Union[int, None] = None,
         fps: Union[int, None] = None,
         add_soundtrack: Union[str, None] = None,
         soundtrack_path: Union[str, None] = None,
@@ -133,6 +134,7 @@ def create_app(pipe=None, models_root: Optional[str] = None):
             vid2vid_startFrame=vid2vid_startFrame,
             inpainting_frames=inpainting_frames,
             inpainting_weights=inpainting_weights,
+            cond_fps=cond_fps,
             fps=fps, add_soundtrack=add_soundtrack,
             soundtrack_path=soundtrack_path,
             comma_padding_backtrack=comma_padding_backtrack,

@@ -270,3 +270,54 @@ class TestAPI:
         from t2v.core.state import state
 
         state.reset()
+
+
+class TestFastAPIAppExecuted:
+    """Execute t2v/api/app.py's route coroutines (fastapi isn't installed
+    in this image, so the minimal stub surface in tests/_fastapi_stub.py
+    stands in for the transport — app.py's own lines run)."""
+
+    def _app(self, monkeypatch, pipe=None):
+        import _fastapi_stub as stub
+
+        stub.install(monkeypatch)
+        from t2v.api.app import create_app
+
+        return stub, create_app(pipe=pipe)
+
+    def test_meta_routes(self, monkeypatch):
+        import t2v
+
+        stub, app = self._app(monkeypatch)
+        assert stub.drive(app, "GET", "/t2v/api_version").json() == {
+            "version": "1.0"
+        }
+        assert stub.drive(app, "GET", "/t2v/version").json() == {
+            "version": t2v.__version__
+        }
+        prog = stub.drive(app, "GET", "/t2v/progress").json()
+        assert {"job", "job_no", "sampling_step"} <= set(prog)
+        html = stub.drive(app, "GET", "/")
+        assert "<html" in html.content.lower()
+
+    def test_interrupt_and_skip(self, monkeypatch):
+        stub, app = self._app(monkeypatch)
+        assert stub.drive(app, "POST", "/t2v/interrupt").status_code == 200
+        assert stub.drive(app, "POST", "/t2v/skip").status_code == 200
+
+    def test_run_route_end_to_end(self, tiny_pipe, monkeypatch, tmp_path):
+        monkeypatch.chdir(tmp_path)
+        stub, app = self._app(monkeypatch, pipe=tiny_pipe)
+        r = stub.drive(
+            app, "POST", "/t2v/run",
+            prompt="a fish", steps=2, frames=2, width=32, height=32,
+            seed=3, model=None,
+        )
+        assert r.status_code == 200, r.json()
+        assert r.json()["mp4s"][0].startswith("data:video/mp4;base64,")
+
+    def test_run_route_422_shape(self, monkeypatch):
+        stub, app = self._app(monkeypatch, pipe=None)
+        r = stub.drive(app, "POST", "/t2v/run", prompt="x", steps="NaN")
+        assert r.status_code == 422
+        assert "detail" in r.json()
