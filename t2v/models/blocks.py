@@ -36,6 +36,15 @@ This module therefore keeps the measured-fastest formulation: plain 3D
 Dense per-token ops, an explicit HBM transpose around the temporal
 transformer, XLA-side GroupNorm/GEGLU math. The kernels remain in
 t2v/kernels (tested, documented) for shapes where they do win.
+
+Round-3 follow-up (same bench): flattening the per-token Dense ops to 2D
+GEMMs in ISOLATION (no residency change, no shared context) re-benched at
+3.115 s vs 3.044 s — the XLA conv-emitter lowering of the small-N 3D dots
+(e.g. proj_out (2048, 24, 320) at ~5 TFLOP/s in the device trace) is
+still globally faster than the canonical 2D GEMM, because layout
+assignment is global and the row-major GEMMs force relayouts around the
+neighbouring convs/attention custom calls. Don't re-flatten wholesale
+without re-profiling.
 """
 
 from __future__ import annotations
