@@ -44,7 +44,10 @@ GEMMs in ISOLATION (no residency change, no shared context) re-benched at
 still globally faster than the canonical 2D GEMM, because layout
 assignment is global and the row-major GEMMs force relayouts around the
 neighbouring convs/attention custom calls. Don't re-flatten wholesale
-without re-profiling.
+without re-profiling. Flattening ONLY the temporal transformer's
+proj_in/proj_out (the two worst per-token dots in the trace) was also a
+regression: 3.045 s vs 3.004 s — the relayout cost around the temporal
+attention custom region exceeds the GEMM win even at minimal scope.
 """
 
 from __future__ import annotations

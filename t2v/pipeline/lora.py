@@ -263,7 +263,10 @@ def apply_lora(
     alpha: float = 1.0,
 ):
     """Functionally merge a (trainable) LoRA tree into flax params:
-    kernel += (A @ B) * alpha. jit/grad-compatible — gradients flow to A/B."""
+    kernel += (A @ diag? @ B) * scale? * alpha. jit/grad-compatible —
+    gradients flow to A/B. Optional per-module ``scale`` / ``diag`` entries
+    mirror the reference wrapper's runtime scale and rank selector
+    (lvdm lora.py:51-56; see t2v.pipeline.lora_zoo)."""
     import jax
 
     new = jax.tree.map(lambda x: x, params)
@@ -274,7 +277,10 @@ def apply_lora(
             node = node[seg]
         leaf = node[fpath[-1]]
         kern = leaf["kernel"]
-        delta = (ab["lora_A"] @ ab["lora_B"]) * alpha
+        a = ab["lora_A"]
+        if "diag" in ab:
+            a = a * ab["diag"][None, :]
+        delta = (a @ ab["lora_B"]) * (alpha * ab.get("scale", 1.0))
         node[fpath[-1]] = dict(leaf, kernel=kern + delta.astype(kern.dtype))
     return new
 
