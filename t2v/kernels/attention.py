@@ -120,7 +120,8 @@ def self_attention_packed(
     in HBM, no batch-minor layouts leaking into neighbouring matmuls
     (v5e, temporal shape 1024x24x8x64: 2.0 ms vs 2.36 ms folded per site;
     end-to-end 24f/256px DDIM-20 video 3.23 s -> 2.997 s, bench.py,
-    re-confirmed in the round-3 bisect).
+    re-confirmed in the round-3 bisect; current HEAD numbers live in
+    docs/PERF.md, regenerated from bench.py/profile_unet.py only).
     Long sequences fold and ride the flash kernel; CPU uses plain XLA.
     """
     b, n, hd = q.shape
