@@ -149,14 +149,15 @@ def main() -> None:
         sec = round(min(times), 4)
         results[name] = sec
         print(json.dumps({"config": name, "seconds": sec,
-                          "shape": f"{FRAMES}f/{H}px/{STEPS}st"}))
-
-    with open(ns.out, "w") as f:
-        json.dump(
-            {"metric": "sec_per_video_1chip", "frames": FRAMES, "px": H,
-             "steps": STEPS, "results": results}, f, indent=2,
-        )
-        f.write("\n")
+                          "shape": f"{FRAMES}f/{H}px/{STEPS}st"}), flush=True)
+        # write incrementally: a partial run (killed mid-matrix) still
+        # leaves a valid artifact for the configs it finished
+        with open(ns.out, "w") as f:
+            json.dump(
+                {"metric": "sec_per_video_1chip", "frames": FRAMES, "px": H,
+                 "steps": STEPS, "results": results}, f, indent=2,
+            )
+            f.write("\n")
 
 
 def _merged_random_lora(params, cfg):
