@@ -69,6 +69,15 @@ def attention(q, k, v, scale: float | None = None, force: str | None = None):
         return _flash_diff(q, k, v, scale)
     if force == "xla":
         return xla_attention(q, k, v, scale)
+    if force == "fused_spmd":
+        # mesh runs: the flash kernel behind a custom_partitioning batch
+        # rule (t2v/kernels/spmd.py); short sequences stay on XLA einsum
+        # attention, which the partitioner shards natively
+        if k.shape[1] >= FLASH_MIN_KV and q.shape[-1] % 8 == 0:
+            from t2v.kernels.spmd import spmd_flash_attention
+
+            return spmd_flash_attention(q, k, v, scale)
+        return xla_attention(q, k, v, scale)
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if on_tpu and k.shape[1] >= FLASH_MIN_KV and q.shape[-1] % 8 == 0:
         return _flash_diff(q, k, v, scale)
@@ -133,6 +142,19 @@ def self_attention_packed(
         from t2v.kernels.fused_mha import fused_self_mha
 
         return fused_self_mha(q, k, v, heads=heads, scale=scale, interpret=True)
+    if force == "fused_spmd":
+        # mesh runs (tp/sp GSPMD): the same kernels behind
+        # custom_partitioning rules so the partitioner can shard them
+        # (batch + head-group parallel); interpret mode off-TPU
+        from t2v.kernels.spmd import spmd_flash_attention, spmd_self_attention
+
+        if n < FLASH_MIN_KV and hd % heads == 0:
+            return spmd_self_attention(q, k, v, heads, scale)
+        fold = lambda t: t.reshape(b, n, heads, dh).transpose(0, 2, 1, 3).reshape(
+            b * heads, n, dh
+        )
+        out = spmd_flash_attention(fold(q), fold(k), fold(v), scale)
+        return out.reshape(b, heads, n, dh).transpose(0, 2, 1, 3).reshape(b, n, hd)
     if force is None and on_tpu and n < FLASH_MIN_KV and hd % heads == 0:
         return _fused_self_diff(q, k, v, heads, scale)
     unfold = lambda t: t.reshape(b, n, heads, dh)
@@ -275,6 +297,10 @@ def cross_attention_packed(
         from t2v.kernels.fused_mha import fused_cross_mha
 
         return fused_cross_mha(q, k, v, heads=heads, scale=scale, interpret=True)
+    if force == "fused_spmd" and s < FLASH_MIN_KV and hd % heads == 0:
+        from t2v.kernels.spmd import spmd_cross_attention
+
+        return spmd_cross_attention(q, k, v, heads, scale)
     if force is None and on_tpu and s < FLASH_MIN_KV and hd % heads == 0:
         return _fused_cross_diff(q, k, v, heads, scale)
     unfoldq = q.reshape(b, n, heads, dh)

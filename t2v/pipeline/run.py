@@ -533,15 +533,15 @@ def _run_dp(
         unet = pipe.unet
         if mesh is not None and not dp_only_mesh:
             # tp/sp meshes rely on GSPMD partitioning inside the model
-            # (Megatron all-reduce, frame all-gather) and Mosaic custom
-            # calls can't be SPMD-partitioned — force the plain-XLA
-            # attention path there. dp-only meshes run each shard's full
-            # loop under jax.shard_map instead (dp_sample.py), where the
-            # Pallas kernels stay live on the local batch.
+            # (Megatron all-reduce, frame all-gather). The Pallas kernels
+            # stay live there via the custom_partitioning rules in
+            # t2v/kernels/spmd.py (batch/head-group parallel, interpret
+            # mode off-TPU). dp-only meshes run each shard's full loop
+            # under jax.shard_map instead (dp_sample.py).
             import dataclasses as _dc
 
             unet = unet.clone(
-                policy=_dc.replace(unet.policy, attention_backend="xla")
+                policy=_dc.replace(unet.policy, attention_backend="fused_spmd")
             )
 
         def f(params, cond, uncond, noise, latents, mask, image_latents, tcond):

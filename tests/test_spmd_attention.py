@@ -1,0 +1,218 @@
+"""Pallas attention kernels under GSPMD meshes via custom_partitioning.
+
+Round-2 verdict weak #2 follow-up: dp-only meshes got shard_map
+(test_dp_sample.py); tp/sp meshes used to force the plain-XLA attention
+path because the partitioner cannot split Mosaic custom calls. The rules
+in t2v/kernels/spmd.py teach it to — these tests prove, on the 8-device
+virtual CPU mesh (kernels in interpret mode), that the partitioned kernel
+path is numerically identical to the unsharded kernel and to the XLA
+attention it replaces, for every sharding the contracts admit:
+
+  * batch sharding (dp / sp over the leading frame-merged axis),
+  * packed-head sharding at head boundaries (Megatron tp),
+  * shardings the math forbids (query rows of self-attention, context of
+    cross-attention) — the partitioner must gather, not corrupt.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from t2v.kernels.attention import (
+    _cross_mha_ref,
+    _self_mha_ref,
+    cross_attention_packed,
+    self_attention_packed,
+    xla_attention,
+)
+from t2v.kernels.spmd import (
+    spmd_cross_attention,
+    spmd_flash_attention,
+    spmd_self_attention,
+)
+from t2v.parallel.mesh import MeshConfig, make_mesh
+
+HEADS, DH = 4, 16
+HD = HEADS * DH
+
+
+def _qkv(b, n, s=None, hd=HD, seed=0):
+    ks = jax.random.split(jax.random.key(seed), 3)
+    q = jax.random.normal(ks[0], (b, n, hd), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s or n, hd), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s or n, hd), jnp.float32)
+    return q, k, v
+
+
+class TestSelfSPMD:
+    @pytest.mark.parametrize(
+        "meshcfg,spec",
+        [
+            (MeshConfig(dp=4), P("dp", None, None)),          # batch
+            (MeshConfig(dp=2, tp=2), P("dp", None, "tp")),    # batch+heads
+            (MeshConfig(dp=1, tp=4), P(None, None, "tp")),    # heads only
+            (MeshConfig(dp=4), P(None, "dp", None)),          # rows: gather
+        ],
+    )
+    def test_matches_unsharded_kernel(self, meshcfg, spec):
+        mesh = make_mesh(meshcfg, jax.devices()[:4])
+        q, k, v = _qkv(8, 12)
+        ref = spmd_self_attention(q, k, v, HEADS)  # unsharded single-device
+        sh = NamedSharding(mesh, spec)
+        out = jax.jit(lambda a, b, c: spmd_self_attention(a, b, c, HEADS))(
+            jax.device_put(q, sh), jax.device_put(k, sh), jax.device_put(v, sh)
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(_self_mha_ref(q, k, v, HEADS, DH**-0.5)),
+            atol=1e-5,
+        )
+
+    def test_uneven_head_sharding_falls_back_to_replication(self):
+        # 3 heads cannot split over 2 tp shards at head boundaries — the
+        # partition rule must clear the head sharding, not mis-slice
+        mesh = make_mesh(MeshConfig(dp=1, tp=2), jax.devices()[:2])
+        hd = 3 * DH
+        q, k, v = _qkv(4, 8, hd=hd)
+        ref = _self_mha_ref(q, k, v, 3, DH**-0.5)
+        sh = NamedSharding(mesh, P(None, None, "tp"))
+        out = jax.jit(lambda a, b, c: spmd_self_attention(a, b, c, 3))(
+            jax.device_put(q, sh), jax.device_put(k, sh), jax.device_put(v, sh)
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_grad_flows_under_sharding(self):
+        mesh = make_mesh(MeshConfig(dp=2, tp=2), jax.devices()[:4])
+        q, k, v = _qkv(4, 8)
+        sh = NamedSharding(mesh, P("dp", None, "tp"))
+
+        def loss(a, b, c):
+            return jnp.sum(spmd_self_attention(a, b, c, HEADS) ** 2)
+
+        g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(
+            jax.device_put(q, sh), jax.device_put(k, sh), jax.device_put(v, sh)
+        )
+        for a, b in zip(g, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestCrossSPMD:
+    @pytest.mark.parametrize(
+        "meshcfg,qspec",
+        [
+            (MeshConfig(dp=4), P("dp", None, None)),         # batch
+            (MeshConfig(dp=4), P(None, "dp", None)),         # query rows
+            (MeshConfig(dp=2, tp=2), P("dp", "tp", None)),   # batch+rows
+            (MeshConfig(dp=2, tp=2), P("dp", None, "tp")),   # batch+heads
+        ],
+    )
+    def test_matches_reference(self, meshcfg, qspec):
+        mesh = make_mesh(meshcfg, jax.devices()[:4])
+        q, k, v = _qkv(4, 24, s=7)
+        ref = _cross_mha_ref(q, k, v, HEADS, DH**-0.5)
+        qsh = NamedSharding(mesh, qspec)
+        out = jax.jit(lambda a, b, c: spmd_cross_attention(a, b, c, HEADS))(
+            jax.device_put(q, qsh), k, v
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_sharded_context_is_gathered(self):
+        # context rows are a need_replication factor: sharding S must
+        # produce a gather, never partial softmax statistics
+        mesh = make_mesh(MeshConfig(dp=4), jax.devices()[:4])
+        q, k, v = _qkv(4, 16, s=8)
+        ref = _cross_mha_ref(q, k, v, HEADS, DH**-0.5)
+        ksh = NamedSharding(mesh, P(None, "dp", None))
+        out = jax.jit(lambda a, b, c: spmd_cross_attention(a, b, c, HEADS))(
+            q, jax.device_put(k, ksh), jax.device_put(v, ksh)
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestFlashSPMD:
+    def test_batch_sharded_matches_xla(self):
+        mesh = make_mesh(MeshConfig(dp=4), jax.devices()[:4])
+        ks = jax.random.split(jax.random.key(3), 3)
+        q = jax.random.normal(ks[0], (8, 64, 32), jnp.float32)
+        k = jax.random.normal(ks[1], (8, 64, 32), jnp.float32)
+        v = jax.random.normal(ks[2], (8, 64, 32), jnp.float32)
+        ref = xla_attention(q, k, v)
+        sh = NamedSharding(mesh, P("dp", None, None))
+        out = jax.jit(lambda a, b, c: spmd_flash_attention(a, b, c))(
+            jax.device_put(q, sh), jax.device_put(k, sh), jax.device_put(v, sh)
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestBackendDispatch:
+    """force='fused_spmd' routes the packed entries through the
+    partitioned kernels and stays numerically on the XLA path."""
+
+    def test_self_packed_dispatch(self):
+        mesh = make_mesh(MeshConfig(dp=2, tp=2), jax.devices()[:4])
+        q, k, v = _qkv(8, 12)
+        ref = self_attention_packed(q, k, v, HEADS, force="xla")
+        sh = NamedSharding(mesh, P("dp", None, "tp"))
+        out = jax.jit(
+            lambda a, b, c: self_attention_packed(a, b, c, HEADS,
+                                                  force="fused_spmd")
+        )(jax.device_put(q, sh), jax.device_put(k, sh), jax.device_put(v, sh))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_cross_packed_dispatch(self):
+        mesh = make_mesh(MeshConfig(dp=4), jax.devices()[:4])
+        q, k, v = _qkv(4, 24, s=7)
+        ref = cross_attention_packed(q, k, v, HEADS, force="xla")
+        sh = NamedSharding(mesh, P("dp", None, None))
+        out = jax.jit(
+            lambda a, b, c: cross_attention_packed(a, b, c, HEADS,
+                                                   force="fused_spmd")
+        )(jax.device_put(q, sh), jax.device_put(k, sh), jax.device_put(v, sh))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestUNetUnderMesh:
+    def test_unet_fused_spmd_matches_xla_on_tp_mesh(self):
+        """The real (tiny) ModelScope UNet jitted over a dp×tp GSPMD mesh
+        with attention_backend='fused_spmd' must match the forced-XLA
+        path it replaces (run.py mesh dispatch no longer forces 'xla')."""
+        import dataclasses
+
+        from t2v.core.config import ModelScopeUNetConfig
+        from t2v.core.dtypes import Policy
+        from t2v.models.modelscope_unet import UNetSD
+        from t2v.parallel.sharding import shard_params
+
+        cfg = ModelScopeUNetConfig().tiny()
+        mesh = make_mesh(MeshConfig(dp=2, tp=2), jax.devices()[:4])
+
+        def build(backend):
+            return UNetSD(
+                cfg=cfg,
+                policy=dataclasses.replace(Policy(), attention_backend=backend),
+            )
+
+        x = jax.random.normal(jax.random.key(1), (2, 2, 8, 8, cfg.in_dim))
+        t = jnp.full((2,), 17.0)
+        ctx = jax.random.normal(jax.random.key(2), (2, 77, cfg.context_dim))
+        base = build(None)
+        params = base.init(jax.random.key(0), x, t, ctx)
+        params = jax.tree.map(
+            lambda a: a + 0.01 if a.size and not np.asarray(a).any() else a,
+            params,
+        )
+        ref = build("xla").apply(params, x, t, ctx)
+
+        sharded = shard_params(params, mesh)
+        xsh = jax.device_put(x, NamedSharding(mesh, P("dp")))
+        model = build("fused_spmd")
+        out = jax.jit(lambda p, a, b, c: model.apply(p, a, b, c))(
+            sharded, xsh, t, ctx
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=5e-4,
+            err_msg="fused_spmd UNet diverges from XLA attention under tp",
+        )
