@@ -17,6 +17,7 @@ errors, 500 with the reference's detail string on processing errors.
 from __future__ import annotations
 
 import os
+import threading
 import traceback
 import uuid
 from dataclasses import dataclass
@@ -27,6 +28,20 @@ from t2v.core.config import T2VArgs, T2VOutputArgs, sanity_check_args
 from t2v.core.state import state
 
 API_VERSION = "1.0"
+
+# Generation-job serialization. The reference's one real concurrency
+# mechanism is A1111's GPU-call queue (wrap_gradio_gpu_call,
+# text2vid.py:82): generate jobs run one at a time no matter how many
+# clients click. Both of our transports are threaded, so the equivalent
+# queue lives here, shared by the FastAPI app and the stdlib server: a
+# second POST /t2v/run blocks until the running job finishes. This also
+# protects every piece of shared mutable state a job touches — the
+# module-global JobState (core/state.py), the warm-pipe global
+# (pipeline/run.py), and the text encoder's request-level settings
+# (pipeline.py encode_request) — and makes interrupt/skip well-defined:
+# they always target the RUNNING job, because run() resets the shared
+# JobState only after acquiring this lock.
+_run_lock = threading.Lock()
 
 # transport-level upload cap (the /t2v/metadata advisor finding: unbounded
 # uploads were buffered ~3x in RAM). 1 GiB covers any plausible mp4 upload.
@@ -184,10 +199,13 @@ def run_response(
         vc_sample_type = query.get("vc_sample_type") or "ddim"
         vc_uc_type = query.get("uc_type") or None
 
-        result = run(
-            args, out_args, pipe=pipe, inpaint_mode=inpaint_mode,
-            vc_sample_type=vc_sample_type, vc_uc_type=vc_uc_type,
-        )
+        # one generate job at a time (the reference's wrap_gradio_gpu_call
+        # queue, text2vid.py:82) — concurrent requests wait here
+        with _run_lock:
+            result = run(
+                args, out_args, pipe=pipe, inpaint_mode=inpaint_mode,
+                vc_sample_type=vc_sample_type, vc_uc_type=vc_uc_type,
+            )
         return ApiResponse(200, {"mp4s": result.data_urls})
     except ValueError as e:
         return ApiResponse(422, {"detail": str(e)})

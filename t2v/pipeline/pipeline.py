@@ -416,7 +416,11 @@ class ModelScopePipeline:
         lat_h, lat_w = args.height // ss, args.width // ss
         shape = (1, args.frames, lat_h, lat_w, 4)
 
-        assert self.text_encoder is not None
+        if self.text_encoder is None:
+            raise ValueError(
+                "pipeline has no text encoder loaded (constructed with "
+                "text_encoder=None) — reload the model dir before infer()"
+            )
         t0 = time.perf_counter()
         # request-level prompt settings (A1111 opts parity; the encoder's
         # line cache keys on both, so switching is safe)

@@ -272,6 +272,129 @@ class TestAPI:
         state.reset()
 
 
+class TestJobSerialization:
+    """Concurrent /t2v/run requests must queue like the reference's
+    wrap_gradio_gpu_call GPU queue (text2vid.py:82): one generate job at a
+    time, interrupt/skip targeting the RUNNING job (handlers._run_lock)."""
+
+    def test_concurrent_requests_serialize(self, server, tiny_pipe, monkeypatch, tmp_path):
+        import os
+        import threading
+        import time as time_mod
+
+        from t2v.pipeline.pipeline import InferResult
+
+        os.chdir(tmp_path)
+        gauge = {"active": 0, "max": 0}
+        glock = threading.Lock()
+        frame = np.zeros((16, 16, 3), np.uint8)
+
+        real_infer = type(tiny_pipe).infer
+
+        def slow_infer(self, args, **kw):
+            with glock:
+                gauge["active"] += 1
+                gauge["max"] = max(gauge["max"], gauge["active"])
+            time_mod.sleep(0.25)
+            with glock:
+                gauge["active"] -= 1
+            import jax.numpy as jnp
+
+            return InferResult(
+                frames=[frame] * args.frames,
+                latents=jnp.zeros((1, args.frames, 8, 8, 4)),
+                infotext=f"test {args.prompt}",
+            )
+
+        monkeypatch.setattr(type(tiny_pipe), "infer", slow_infer)
+        try:
+            results = []
+
+            def post(tag):
+                results.append(
+                    _post(f"{server}/t2v/run?prompt={tag}&steps=2&frames=2"
+                          f"&width=64&height=64&seed=1")
+                )
+
+            threads = [threading.Thread(target=post, args=(t,)) for t in ("a", "b")]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+            assert all(status == 200 for status, _ in results), results
+            assert gauge["max"] == 1, "two generate jobs overlapped"
+        finally:
+            monkeypatch.setattr(type(tiny_pipe), "infer", real_infer)
+
+    def test_interrupt_targets_running_job(self, server, tiny_pipe, monkeypatch, tmp_path):
+        """Job A runs (polling its callback), job B queues. An interrupt
+        stops A; B then runs to completion because run() resets the shared
+        JobState only once it holds the run lock."""
+        import os
+        import threading
+        import time as time_mod
+
+        from t2v.core.state import state
+        from t2v.pipeline.pipeline import InferResult
+
+        os.chdir(tmp_path)
+        state.reset()
+        frame = np.zeros((16, 16, 3), np.uint8)
+        a_started = threading.Event()
+        order = []
+
+        real_infer = type(tiny_pipe).infer
+
+        def fake_infer(self, args, callback=None, **kw):
+            import jax.numpy as jnp
+
+            if args.prompt == "jobA":
+                a_started.set()
+                for i in range(400):  # poll until interrupted (raises)
+                    time_mod.sleep(0.02)
+                    if callback is not None:
+                        callback(i)
+            order.append(args.prompt)
+            return InferResult(
+                frames=[frame] * args.frames,
+                latents=jnp.zeros((1, args.frames, 8, 8, 4)),
+                infotext=f"test {args.prompt}",
+            )
+
+        monkeypatch.setattr(type(tiny_pipe), "infer", fake_infer)
+        try:
+            results = {}
+
+            def post(tag):
+                results[tag] = _post(
+                    f"{server}/t2v/run?prompt={tag}&steps=2&frames=2"
+                    f"&width=64&height=64&seed=1"
+                )
+
+            ta = threading.Thread(target=post, args=("jobA",))
+            ta.start()
+            assert a_started.wait(timeout=60), "job A never started"
+            tb = threading.Thread(target=post, args=("jobB",))
+            tb.start()
+            time_mod.sleep(0.2)  # let B queue on the run lock
+            status, body = _post(f"{server}/t2v/interrupt")
+            assert status == 200
+            ta.join(timeout=120)
+            tb.join(timeout=120)
+
+            # A was interrupted -> 200 with no videos (reference returns
+            # the batch-loop early-exit, not an error)
+            assert results["jobA"][0] == 200
+            assert results["jobA"][1]["mp4s"] == []
+            # B ran AFTER the interrupt and completed with a video
+            assert results["jobB"][0] == 200
+            assert len(results["jobB"][1]["mp4s"]) == 1
+            assert order == ["jobB"], "job B's infer should be the only completion"
+        finally:
+            monkeypatch.setattr(type(tiny_pipe), "infer", real_infer)
+            state.reset()
+
+
 class TestFastAPIAppExecuted:
     """Execute t2v/api/app.py's route coroutines (fastapi isn't installed
     in this image, so the minimal stub surface in tests/_fastapi_stub.py
