@@ -2,18 +2,31 @@
 
 Extends bench.py (the driver-facing single number) to the full tracked
 matrix so README's table regenerates from driver runs instead of hand-kept
-claims (round-2 verdict weak #6/#7):
+claims. All rows go through the PRODUCTION pipeline entry points
+(``ModelScopePipeline.infer`` / ``VideoCrafterPipeline.infer``), so
+behaviour like the vid2vid ``skip_steps`` truncation
+(process_modelscope.py:143; pipeline.py ``steps = args.steps -
+skip_steps``) is actually measured — the round-3 suite called the raw
+``sample_loop`` and silently re-measured the full 20-step plan for every
+row.
 
+Rows:
   * txt2vid at the benchmark shape (24f/256px/20 steps) for each sampler —
     DDIM_Gaussian, DDIM, UniPC, DPM++ 2M, Euler a;
-  * vid2vid (strength 0.75 — the sampler runs the truncated 15-step plan);
+  * vid2vid (strength 0.75 → skip_steps=5, a 15-step denoise);
   * masked img2vid inpainting (initial_only, reference parity mode);
   * vid2vid with a rank-16 stable-LoRA merged (weights differ, FLOPs
-    identical — recorded because BASELINE.md tracks the config).
+    identical — recorded because BASELINE.md tracks the config);
+  * DeepCache x2 txt2vid (pipeline execution path);
+  * long-context 125f/256px txt2vid (BASELINE.md tracked);
+  * ZeroScope-shape 1024x576/24f txt2vid (BASELINE.md tracked — same
+    1.7B topology, hi-res latents);
+  * VideoCrafter 16f/256px DDIM (BASELINE.md tracked).
 
-Methodology per .claude/skills/verify/SKILL.md: ONE jit per config
-covering the full denoise loop + frame-batched VAE decode, varied key per
-run, a value readback as the barrier, min of 3.
+Methodology per .claude/skills/verify/SKILL.md: time the full infer()
+call (text encode is line-cached after warmup; the numpy frame decode is
+the value-readback barrier), varied seed per run so the axon tunnel can't
+dedupe, min over runs, compile excluded by an untimed warmup call.
 
 Usage: python tools/bench_suite.py [--out BENCH_SUITE.json] [--only NAME]
 Prints one JSON line per config and writes the collected dict to --out.
@@ -29,142 +42,206 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 FRAMES, STEPS, H, W = 24, 20, 256, 256
+
+
+def _time_infer(pipe, args_for_run, runs: int, **infer_kw) -> float:
+    """Warmup (compile) + ``runs`` timed calls with varied seeds."""
+    from t2v.core.config import T2VArgs  # noqa: F401  (typing aid)
+
+    pipe.infer(args_for_run.replace(seed=999983), **infer_kw)  # warmup/compile
+    times = []
+    for i in range(runs):
+        a = args_for_run.replace(seed=1000 + i)
+        t0 = time.perf_counter()
+        res = pipe.infer(a, **infer_kw)
+        # decode_latents inside infer() returned numpy frames — a real
+        # value readback; touch one anyway so the barrier is explicit
+        _ = int(np.asarray(res.frames[0]).sum())
+        times.append(time.perf_counter() - t0)
+    return round(min(times), 4)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_SUITE.json")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--tiny", action="store_true",
+        help="CPU smoke mode: tiny configs/shapes, exercises every row's "
+        "code path without the chip (numbers are meaningless)",
+    )
     ns = ap.parse_args()
+
+    global FRAMES, STEPS, H, W
 
     from t2v.core.compile_cache import enable_compile_cache
 
     enable_compile_cache()
 
+    import jax
+    import jax.numpy as jnp
+
     from t2v.core import rng as rng_lib
-    from t2v.core.config import ModelScopeUNetConfig, VAEConfig
+    from t2v.core.config import ModelScopeUNetConfig, T2VArgs
     from t2v.core.dtypes import Policy
-    from t2v.diffusion.sampling import sample_loop
-    from t2v.diffusion.schedules import DiffusionSchedule
-    from t2v.models.modelscope_unet import UNetSD
-    from t2v.models.vae import AutoencoderKL
+    from t2v.pipeline.pipeline import ModelScopePipeline, _spatial_scale
 
     policy = Policy.bf16()
-    cfg = ModelScopeUNetConfig()
-    model = UNetSD(cfg=cfg, policy=policy)
-    lat_h, lat_w = H // 8, W // 8
-    shape = (1, FRAMES, lat_h, lat_w, cfg.in_dim)
+    if ns.tiny:
+        jax.config.update("jax_platforms", "cpu")
+        FRAMES, STEPS = 4, 4
+        cfg = ModelScopeUNetConfig().tiny()
+        pipe = ModelScopePipeline.random_init(cfg, policy=policy)
+        H = W = 16 * _spatial_scale(pipe.vae_cfg)
+    else:
+        cfg = ModelScopeUNetConfig()
+        pipe = ModelScopePipeline.random_init(cfg, policy=policy)
 
-    x = jnp.zeros(shape, jnp.bfloat16)
-    t = jnp.zeros((1,), jnp.float32)
-    ctx = jnp.zeros((1, 77, cfg.context_dim), jnp.bfloat16)
-    params = jax.jit(model.init)(jax.random.key(0), x, t, ctx)
-
-    schedule = DiffusionSchedule.linear_sd(cfg.num_timesteps)
-    cond = jnp.zeros((1, 77, cfg.context_dim), jnp.bfloat16)
-    uncond = jnp.ones((1, 77, cfg.context_dim), jnp.bfloat16) * 0.01
-
-    vae = AutoencoderKL(cfg=VAEConfig(), policy=policy)
-    vae_params = jax.jit(vae.init)(
-        jax.random.key(1), jnp.zeros((1, 8, 8, 3), jnp.bfloat16)
+    base = T2VArgs(
+        prompt="a photo of an astronaut riding a horse on mars, cinematic",
+        n_prompt="text, watermark, blurry",
+        steps=STEPS, frames=FRAMES, width=W, height=H,
+        sampler="DDIM_Gaussian", cfg_scale=9.0, seed=1,
     )
 
-    @jax.jit
-    def decode(vae_params, z):
-        frames = vae.apply(vae_params, z / 0.18215, method=AutoencoderKL.decode)
-        return frames, jnp.float32(frames.sum())
+    ss = _spatial_scale(pipe.vae_cfg)
+    lat = (1, FRAMES, H // ss, W // ss, 4)
+    src_latents = rng_lib.latent_noise(jax.random.key(9), lat) * 0.3
+    # vid2vid truncation exactly as run() computes it (run.py::_prepare_vid2vid)
+    import math
 
-    src_latents = rng_lib.latent_noise(jax.random.key(9), shape) * 0.3
+    strength = 0.75
+    skip_steps = int(math.floor(STEPS * max(0.0, min(1.0 - strength, 1.0))))
+    assert ns.tiny or skip_steps == 5, skip_steps
+
     inp_mask = jnp.asarray(
         (np.arange(FRAMES) < 8).astype(np.float32)[None, :, None, None, None]
-        * np.ones((1, FRAMES, lat_h, lat_w, cfg.in_dim), np.float32)
+        * np.ones(lat, np.float32)
     )
+    masked_init = src_latents * (1 - inp_mask) + rng_lib.latent_noise(
+        jax.random.key(11), lat
+    ) * inp_mask
 
-    def make_denoise(sampler, **loop_kw):
-        def fn(params, key):
-            def apply_fn(xx, tt, cc):
-                return model.apply(params, xx, tt, cc)
+    results: dict[str, float] = {}
+    meta: dict[str, dict] = {}
 
-            return sample_loop(
-                apply_fn, schedule, steps=STEPS, shape=shape,
-                cond=cond, uncond=uncond, guidance_scale=9.0,
-                sampler_name=sampler, key=key, **loop_kw,
-            )
-
-        return jax.jit(fn)
-
-    # DeepCache rides the pipeline API (its cached body needs the UNet's
-    # split forward) — its number comes from the pipeline benchmark in the
-    # README, not this raw-loop suite.
-    configs: dict[str, dict] = {
-        "txt2vid_ddim_gaussian": dict(sampler="DDIM_Gaussian"),
-        "txt2vid_ddim": dict(sampler="DDIM"),
-        "txt2vid_unipc": dict(sampler="UniPC"),
-        "txt2vid_dpmpp_2m": dict(sampler="DPM++ 2M"),
-        "txt2vid_euler_a": dict(sampler="Euler a"),
-        "vid2vid_s075": dict(
-            sampler="DDIM_Gaussian",
-            loop=dict(latents=src_latents, is_vid2vid=True, strength=0.75),
-        ),
-        "inpaint_initial_only": dict(
-            sampler="DDIM_Gaussian",
-            loop=dict(mask=inp_mask, image_latents=src_latents,
-                      inpaint_mode="initial_only"),
-        ),
-        "vid2vid_s075_lora16": dict(
-            sampler="DDIM_Gaussian", lora=True,
-            loop=dict(latents=src_latents, is_vid2vid=True, strength=0.75),
-        ),
-    }
-
-    lora_params = None
-    results = {}
-    key = jax.random.key(42)
-    for name, spec in configs.items():
-        if ns.only and ns.only != name:
-            continue
-        p = params
-        if spec.get("lora"):
-            if lora_params is None:
-                lora_params = _merged_random_lora(params, cfg)
-            p = lora_params
-        fn = make_denoise(spec["sampler"], **spec.get("loop", {}))
-        # warmup / compile
-        z = fn(p, key)
-        _, s = decode(vae_params, z[0])
-        float(s)
-        times = []
-        for i in range(3):
-            k = jax.random.fold_in(key, i)
-            t0 = time.perf_counter()
-            z = fn(p, k)
-            _, s = decode(vae_params, z[0])
-            float(s)
-            times.append(time.perf_counter() - t0)
-        sec = round(min(times), 4)
-        results[name] = sec
-        print(json.dumps({"config": name, "seconds": sec,
-                          "shape": f"{FRAMES}f/{H}px/{STEPS}st"}), flush=True)
-        # write incrementally: a partial run (killed mid-matrix) still
-        # leaves a valid artifact for the configs it finished
+    def record(name: str, seconds: float, **shape):
+        results[name] = seconds
+        meta[name] = shape
+        print(json.dumps({"config": name, "seconds": seconds, **shape}), flush=True)
         with open(ns.out, "w") as f:
             json.dump(
-                {"metric": "sec_per_video_1chip", "frames": FRAMES, "px": H,
-                 "steps": STEPS, "results": results}, f, indent=2,
+                {"metric": "sec_per_video_1chip",
+                 "frames": FRAMES, "px": H, "steps": STEPS,
+                 "results": results, "shapes": meta}, f, indent=2,
             )
             f.write("\n")
 
+    def wants(name: str) -> bool:
+        return ns.only is None or ns.only == name
 
-def _merged_random_lora(params, cfg):
+    shape24 = dict(frames=FRAMES, px=H, steps=STEPS)
+    for sampler in ("DDIM_Gaussian", "DDIM", "UniPC", "DPM++ 2M", "Euler a"):
+        name = f"txt2vid_{sampler.lower().replace(' ', '_').replace('+', 'p')}"
+        if not wants(name):
+            continue
+        record(name, _time_infer(pipe, base.replace(sampler=sampler), 3), **shape24)
+
+    if wants("vid2vid_s075"):
+        record(
+            "vid2vid_s075",
+            _time_infer(
+                pipe, base.replace(strength=strength), 3,
+                latents=src_latents, skip_steps=skip_steps, is_vid2vid=True,
+            ),
+            **dict(shape24, steps=STEPS - skip_steps),
+        )
+
+    if wants("inpaint_initial_only"):
+        record(
+            "inpaint_initial_only",
+            _time_infer(
+                pipe, base.replace(strength=1.0), 3,
+                latents=masked_init, mask=inp_mask, image_latents=src_latents,
+                inpaint_mode="initial_only",
+            ),
+            **shape24,
+        )
+
+    if wants("vid2vid_s075_lora16"):
+        # params are REAL arguments to the cached jit (pipeline.py:488), so
+        # swapping in merged weights reuses the executable — exactly the
+        # stable-LoRA merge semantics (weights differ, FLOPs identical)
+        saved = pipe.unet_params
+        pipe.unet_params = _merged_random_lora(saved)
+        try:
+            record(
+                "vid2vid_s075_lora16",
+                _time_infer(
+                    pipe, base.replace(strength=strength), 3,
+                    latents=src_latents, skip_steps=skip_steps, is_vid2vid=True,
+                ),
+                **dict(shape24, steps=STEPS - skip_steps),
+            )
+        finally:
+            pipe.unet_params = saved
+
+    if wants("txt2vid_deepcache2"):
+        record(
+            "txt2vid_deepcache2",
+            _time_infer(pipe, base, 3, deep_cache_interval=2),
+            **shape24,
+        )
+
+    if wants("txt2vid_125f"):
+        long_f = 8 if ns.tiny else 125
+        record(
+            "txt2vid_125f",
+            _time_infer(pipe, base.replace(frames=long_f), 2),
+            frames=long_f, px=H, steps=STEPS,
+        )
+
+    if wants("txt2vid_zeroscope_1024x576"):
+        zw, zh = (2 * W, H) if ns.tiny else (1024, 576)
+        record(
+            "txt2vid_zeroscope_1024x576",
+            _time_infer(pipe, base.replace(width=zw, height=zh), 2),
+            frames=FRAMES, px=f"{zw}x{zh}", steps=STEPS,
+        )
+
+    if wants("videocrafter_16f"):
+        from t2v.models.videocrafter_unet import VideoCrafterUNetConfig
+        from t2v.pipeline.videocrafter import VideoCrafterPipeline
+
+        vc_cfg = (
+            VideoCrafterUNetConfig().tiny() if ns.tiny else VideoCrafterUNetConfig()
+        )
+        vc = VideoCrafterPipeline.random_init(vc_cfg, policy=policy)
+        vf = 4 if ns.tiny else 16
+        vw = 16 * _spatial_scale(vc.vae_cfg) if ns.tiny else W
+        record(
+            "videocrafter_16f",
+            _time_infer(
+                vc,
+                base.replace(
+                    frames=vf, width=vw, height=vw,
+                    sampler="DDIM", cfg_scale=15.0,
+                ),
+                2,
+            ),
+            frames=vf, px=vw, steps=STEPS,
+        )
+
+
+def _merged_random_lora(params):
     """Rank-16 stable-LoRA with small random factors merged into the UNet
     (BASELINE.md tracked config 'with LoRA'): identical FLOP profile,
     different weights."""
     import flax
+    import jax.numpy as jnp
 
     flat = flax.traverse_util.flatten_dict(params["params"], sep="/")
     rng = np.random.default_rng(5)
