@@ -198,6 +198,10 @@ def run_response(
             return ApiResponse(422, {"detail": f"invalid inpaint_mode {inpaint_mode!r}"})
         vc_sample_type = query.get("vc_sample_type") or "ddim"
         vc_uc_type = query.get("uc_type") or None
+        # reference 3-state keep-in-VRAM webui option (text2vid.py:93)
+        keep_in_vram = query.get("keep_in_vram")
+        if keep_in_vram is None:
+            keep_in_vram = True
 
         # one generate job at a time (the reference's wrap_gradio_gpu_call
         # queue, text2vid.py:82) — concurrent requests wait here
@@ -205,6 +209,7 @@ def run_response(
             result = run(
                 args, out_args, pipe=pipe, inpaint_mode=inpaint_mode,
                 vc_sample_type=vc_sample_type, vc_uc_type=vc_uc_type,
+                keep_in_vram=keep_in_vram,
             )
         return ApiResponse(200, {"mp4s": result.data_urls})
     except ValueError as e:

@@ -123,6 +123,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="drop the pipeline cache after each run (reference keep-in-VRAM "
         "'None' setting) — mainly for the --serve mode",
     )
+    p.add_argument(
+        "--keep-in-vram", default=None,
+        choices=["All", "Main Model Only", "None"],
+        help="reference 3-state retention option (text2vid.py:93): 'Main "
+        "Model Only' keeps the UNet warm but reloads VAE/CLIP per run; "
+        "overrides --no-keep-in-vram",
+    )
     return p
 
 
@@ -237,7 +244,12 @@ def main(argv=None) -> int:
         depth_ckpt=ns.depth_ckpt,
         dp_shards=ns.dp_shards, tp_shards=ns.tp_shards, sp_shards=ns.sp_shards,
         deep_cache_interval=ns.deep_cache,
-        keep_in_vram=not ns.no_keep_in_vram, inpaint_mode=ns.inpaint_mode,
+        keep_in_vram=(
+            ns.keep_in_vram
+            if ns.keep_in_vram is not None
+            else not ns.no_keep_in_vram
+        ),
+        inpaint_mode=ns.inpaint_mode,
         vc_sample_type=ns.vc_sample_type, vc_uc_type=ns.uc_type,
     )
 

@@ -31,6 +31,13 @@ class Policy:
     # calls, so sharded q/k/v would be gathered full-size per shard; the
     # plain dot-product path partitions cleanly with inserted collectives.
     attention_backend: str | None = None
+    # TemporalConvBlock backend (t2v.kernels.temporal_conv):
+    # None = auto (fused Pallas chain on TPU, XLA elsewhere), "xla", or
+    # "fused" (interpret mode off-TPU — used by CPU tests). GSPMD-sharded
+    # execution (tp/sp meshes) sets "xla" for the same partitioner reason
+    # as attention; dp-only shard_map bodies may keep the fused kernel
+    # (per-shard local arrays).
+    temporal_conv_backend: str | None = None
 
     @classmethod
     def bf16(cls) -> "Policy":

@@ -150,11 +150,21 @@ def self_attention_packed(
 
         if n < FLASH_MIN_KV and hd % heads == 0:
             return spmd_self_attention(q, k, v, heads, scale)
-        fold = lambda t: t.reshape(b, n, heads, dh).transpose(0, 2, 1, 3).reshape(
-            b * heads, n, dh
+        if hd % heads == 0 and dh % 8 == 0:
+            # the flash kernel needs lane-aligned head dims (same dh % 8
+            # guard as the auto dispatch above) — misaligned configs fall
+            # through to the natively-shardable XLA path
+            fold = lambda t: t.reshape(b, n, heads, dh).transpose(
+                0, 2, 1, 3
+            ).reshape(b * heads, n, dh)
+            out = spmd_flash_attention(fold(q), fold(k), fold(v), scale)
+            return out.reshape(b, heads, n, dh).transpose(0, 2, 1, 3).reshape(
+                b, n, hd
+            )
+        unfold = lambda t: t.reshape(b, n, heads, dh)
+        return attention_mh(unfold(q), unfold(k), unfold(v), scale, "xla").reshape(
+            b, n, hd
         )
-        out = spmd_flash_attention(fold(q), fold(k), fold(v), scale)
-        return out.reshape(b, heads, n, dh).transpose(0, 2, 1, 3).reshape(b, n, hd)
     if force is None and on_tpu and n < FLASH_MIN_KV and hd % heads == 0:
         return _fused_self_diff(q, k, v, heads, scale)
     unfold = lambda t: t.reshape(b, n, heads, dh)

@@ -235,6 +235,64 @@ class ModelScopePipeline:
         )
 
     # ------------------------------------------------------------------
+    # keep-in-VRAM 'Main Model Only' retention (reference 3-state option:
+    # t2v_pipeline.py:74,253,297,367-373; render.py:40-43 — retain the
+    # main UNet, drop VAE/CLIP between runs)
+
+    def release_aux(self) -> None:
+        """Drop the VAE and CLIP weights AND their jit executables; the
+        UNet params and sampler caches stay resident. ``reload_aux``
+        restores the dropped components from the model dir."""
+        self.vae_params = None
+        self.text_encoder = None
+        self._decode_fn = None
+        self._decode_float_fn = None
+        self._encode_fn = None
+
+    def reload_aux(self) -> None:
+        """Re-read only the VAE and CLIP checkpoints after release_aux().
+        No-op when both components are resident."""
+        if self.vae_params is not None and self.text_encoder is not None:
+            return
+        if self.model_dir is None:
+            raise ValueError(
+                "cannot reload VAE/CLIP: pipeline has no model_dir "
+                "(random-init pipelines cannot use 'Main Model Only')"
+            )
+        from t2v.io.orbax_io import is_native_checkpoint
+
+        if is_native_checkpoint(self.model_dir):
+            # native (orbax) dirs store one tree; reload it and keep only
+            # the aux components (the UNet stays as-is)
+            rebuilt = type(self).from_native(self.model_dir, self.policy)
+            self.vae_params = rebuilt.vae_params
+            self.text_encoder = rebuilt.text_encoder
+            return
+        from t2v.io.convert import convert_vae
+        from t2v.io.pickle_reader import load_torch_checkpoint
+
+        with open(os.path.join(self.model_dir, "configuration.json")) as f:
+            model_args = json.load(f)["model"].get("model_args", {})
+        ckpt_ae = model_args.get("ckpt_autoencoder", "VQGAN_autoencoder.pth")
+        ckpt_clip = model_args.get("ckpt_clip", "open_clip_pytorch_model.bin")
+        sd_vae = load_torch_checkpoint(os.path.join(self.model_dir, ckpt_ae))
+        self.vae_params = _cast_tree(
+            convert_vae(sd_vae, self.vae_cfg), self.policy.param_dtype
+        )
+        del sd_vae
+        sd_clip = load_torch_checkpoint(os.path.join(self.model_dir, ckpt_clip))
+        clip_params = _cast_tree(
+            convert_open_clip_text(sd_clip, self.clip_cfg),
+            self.policy.param_dtype,
+        )
+        del sd_clip
+        clip = CLIPTextTransformer(cfg=self.clip_cfg, policy=self.policy)
+        tokenizer = CLIPTokenizer.find_and_load(
+            self.model_dir, os.path.dirname(self.model_dir)
+        )
+        self.text_encoder = TextEncoder(clip, clip_params, tokenizer)
+
+    # ------------------------------------------------------------------
 
     def apply_stable_lora(
         self, lora_sd, alpha: float = 1.0, *, undo: bool = False

@@ -50,6 +50,21 @@ def _default_outdir() -> str:
 _warm_pipe = None
 
 
+def _retention(keep_in_vram) -> str:
+    """Normalise the reference's 3-state keep-in-VRAM option
+    (t2v_pipeline.py:74; render.py:40-43; UI strings text2vid.py:93):
+    'All'/True -> "all", 'Main Model Only' -> "model" (retain UNet, drop
+    VAE/CLIP + their jit caches between runs), 'None'/False/None ->
+    "none" (nothing retained)."""
+    if keep_in_vram in (True, "All", "all"):
+        return "all"
+    if keep_in_vram in ("Main Model Only", "model", "main model only"):
+        return "model"
+    if keep_in_vram in (False, None, "None", "none"):
+        return "none"
+    raise ValueError(f"invalid keep_in_vram value {keep_in_vram!r}")
+
+
 def _prepare_vid2vid(pipe: ModelScopePipeline, args: T2VArgs):
     """vid2vid inputs (process_modelscope.py:80-147)."""
     import math
@@ -95,7 +110,7 @@ def run(
     tp_shards: int = 1,
     sp_shards: int = 1,
     deep_cache_interval: int = 1,
-    keep_in_vram: bool = True,
+    keep_in_vram: bool | str | None = True,
     inpaint_mode: str = "initial_only",
     vc_sample_type: str = "ddim",
     vc_uc_type: Optional[str] = None,
@@ -105,9 +120,11 @@ def run(
     of propagating (render.py:15-44, error_hardcode.py). The API layer uses
     the exception path (api_t2v.py 500 handling).
 
-    keep_in_vram=False drops the pipeline cache after the run (the
-    reference's keep-in-VRAM webui option, render.py:40-43): the next
-    request reloads checkpoints from disk."""
+    keep_in_vram mirrors the reference's 3-state webui option
+    (render.py:40-43, t2v_pipeline.py:74): 'All'/True retains the whole
+    pipeline; 'Main Model Only' retains the UNet but drops VAE/CLIP and
+    their jit caches after the run (they reload from the model dir on the
+    next request); 'None'/False retains nothing."""
     if error_video_on_failure:
         try:
             return run(
@@ -131,6 +148,7 @@ def run(
     out_args = out_args or T2VOutputArgs()
     job_state = job_state or default_state
     sanity_check_args(args)
+    retention = _retention(keep_in_vram)
 
     global _warm_pipe
     if pipe is None:
@@ -148,13 +166,18 @@ def run(
             model_dir = _resolve_model_dir(
                 model if model != "<modelscope>" else "<videocrafter>"
             )
-            pipe = load_vc_pipeline(model_dir, keep_in_vram=keep_in_vram)
+            pipe = load_vc_pipeline(model_dir, keep_in_vram=retention != "none")
         else:
             pipe = load_pipeline(
                 _resolve_model_dir(args.model or "<modelscope>"),
-                keep_in_vram=keep_in_vram,
+                keep_in_vram=retention != "none",
             )
-    _warm_pipe = pipe if keep_in_vram else None
+    _warm_pipe = pipe if retention != "none" else None
+    # a warm pipe retained under 'Main Model Only' comes back without its
+    # VAE/CLIP — restore them from the model dir before use
+    # (t2v_pipeline.py:253,297: the reference re-moves them onto the GPU)
+    if isinstance(pipe, ModelScopePipeline) and pipe.text_encoder is None:
+        pipe.reload_aux()
 
     job_state.reset()
     result = RunResult()
@@ -236,7 +259,7 @@ def run(
     if (dp_shards > 1 or tp_shards > 1 or sp_shards > 1) and (
         isinstance(pipe, ModelScopePipeline) or vc_sample_type != "ddpm"
     ):
-        return _run_dp(
+        result = _run_dp(
             pipe, args, out_args, outdir, resolved_seed, timestring,
             save_frames, dp_shards, tp_shards, sp_shards, features_adapter,
             job_state,
@@ -244,6 +267,9 @@ def run(
             inpaint_mode=inpaint_mode, vc_sample_type=vc_sample_type,
             vc_uc_type=vc_uc_type,
         )
+        if retention == "model" and isinstance(pipe, ModelScopePipeline):
+            pipe.release_aux()
+        return result
 
     for batch in range(args.batch_count):
         if job_state.interrupted:
@@ -312,6 +338,10 @@ def run(
             timestring, batch, resolved_seed + batch, save_frames,
         )
 
+    # 'Main Model Only': retain the warm UNet, drop VAE/CLIP until the
+    # next request (render.py:40-43, t2v_pipeline.py:367-373)
+    if retention == "model" and isinstance(pipe, ModelScopePipeline):
+        pipe.release_aux()
     return result
 
 
@@ -531,7 +561,10 @@ def _run_dp(
     fn = pipe._sample_cache.get(static)
     if fn is None:
         unet = pipe.unet
-        if mesh is not None and not dp_only_mesh:
+        if mesh is not None and not dp_only_mesh and jax.default_backend() != "gpu":
+            # (gpu excluded: spmd.py's kernels run interpret mode off-TPU —
+            # fine on the virtual-CPU test meshes, orders of magnitude too
+            # slow on a real GPU mesh, which keeps the default XLA path.)
             # tp/sp meshes rely on GSPMD partitioning inside the model
             # (Megatron all-reduce, frame all-gather). The Pallas kernels
             # stay live there via the custom_partitioning rules in
@@ -541,7 +574,15 @@ def _run_dp(
             import dataclasses as _dc
 
             unet = unet.clone(
-                policy=_dc.replace(unet.policy, attention_backend="fused_spmd")
+                policy=_dc.replace(
+                    unet.policy,
+                    attention_backend="fused_spmd",
+                    # the fused temporal-conv chain has no
+                    # custom_partitioning rules — GSPMD meshes take the
+                    # natively-shardable XLA formulation (frame all-gather
+                    # under sp is inserted by the partitioner)
+                    temporal_conv_backend="xla",
+                )
             )
 
         def f(params, cond, uncond, noise, latents, mask, image_latents, tcond):

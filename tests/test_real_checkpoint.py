@@ -163,3 +163,97 @@ def test_vae_decode_parity(model_dir, pipe):
     )
     diff = np.abs(img_j - np.transpose(img_t, (0, 2, 3, 1))).max()
     assert diff < 5e-4, f"VAE decode diverges on real-layout ckpt: {diff}"
+
+
+class TestKeepInVramRetention:
+    """Reference 3-state keep-in-VRAM option (t2v_pipeline.py:74,367-373;
+    render.py:40-43): 'All' retains everything, 'Main Model Only' retains
+    the UNet but drops VAE/CLIP between runs (reloaded from the model dir
+    on the next request), 'None' retains nothing."""
+
+    def _fresh_pipe(self, model_dir):
+        from t2v.core.config import CLIPTextConfig, VAEConfig
+        from t2v.core.dtypes import Policy
+        from t2v.pipeline.pipeline import ModelScopePipeline
+
+        clip_cfg = dataclasses.replace(
+            CLIPTextConfig.vit_h_14(), width=1024, layers=2, heads=2
+        )
+        return ModelScopePipeline.from_model_dir(
+            model_dir, Policy.fp32(), vae_cfg=VAEConfig().tiny(),
+            clip_cfg=clip_cfg,
+        )
+
+    def _args(self):
+        from t2v.core.config import T2VArgs
+
+        return T2VArgs(
+            prompt="a cat", steps=2, frames=2, width=32, height=32, seed=3
+        )
+
+    def test_main_model_only_drops_and_reloads_aux(self, model_dir, tmp_path):
+        import t2v.pipeline.run as run_mod
+        from t2v.pipeline.run import run
+
+        pipe = self._fresh_pipe(model_dir)
+        saved_warm = run_mod._warm_pipe
+        try:
+            r1 = run(
+                self._args(), pipe=pipe, outdir=str(tmp_path),
+                keep_in_vram="Main Model Only",
+            )
+            assert len(r1.videos) == 1
+            # aux dropped, UNet + sampler caches retained, pipe stays warm
+            assert pipe.text_encoder is None
+            assert pipe.vae_params is None
+            assert pipe._decode_fn is None
+            assert pipe.unet_params is not None
+            assert run_mod._warm_pipe is pipe
+
+            # warm-pipe reuse (model=None): aux reloads from the model dir
+            r2 = run(
+                self._args().replace(model=None, seed=4),
+                outdir=str(tmp_path / "b"), keep_in_vram="Main Model Only",
+            )
+            assert len(r2.videos) == 1
+            assert pipe.text_encoder is None  # dropped again post-run
+        finally:
+            run_mod._warm_pipe = saved_warm
+
+    def test_all_retains_everything(self, model_dir, tmp_path):
+        import t2v.pipeline.run as run_mod
+        from t2v.pipeline.run import run
+
+        pipe = self._fresh_pipe(model_dir)
+        saved_warm = run_mod._warm_pipe
+        try:
+            run(self._args(), pipe=pipe, outdir=str(tmp_path),
+                keep_in_vram="All")
+            assert pipe.text_encoder is not None
+            assert pipe.vae_params is not None
+            assert run_mod._warm_pipe is pipe
+        finally:
+            run_mod._warm_pipe = saved_warm
+
+    def test_none_clears_warm_pipe(self, model_dir, tmp_path):
+        import t2v.pipeline.run as run_mod
+        from t2v.pipeline.run import run
+
+        pipe = self._fresh_pipe(model_dir)
+        saved_warm = run_mod._warm_pipe
+        try:
+            run(self._args(), pipe=pipe, outdir=str(tmp_path),
+                keep_in_vram="None")
+            assert run_mod._warm_pipe is None
+            # nothing was stripped from the caller's object — it is simply
+            # not retained (reference deletes the global, render.py:42-43)
+            assert pipe.text_encoder is not None
+        finally:
+            run_mod._warm_pipe = saved_warm
+
+    def test_invalid_retention_value_rejected(self, model_dir, tmp_path):
+        from t2v.pipeline.run import run
+
+        with pytest.raises(ValueError, match="keep_in_vram"):
+            run(self._args(), pipe=self._fresh_pipe(model_dir),
+                outdir=str(tmp_path), keep_in_vram="Sometimes")
