@@ -5,8 +5,14 @@ A1111 prompt pipeline (clip_hardcode.py:59-145). This is a from-scratch
 implementation of the same byte-level BPE scheme:
 
   * byte→printable-unicode table, lowercasing, whitespace collapsing,
-    html unescaping (ftfy repair is skipped — not available offline; the
-    practical effect is nil for well-formed UTF-8 prompts);
+    html unescaping, and a conservative ftfy-equivalent mojibake repair
+    (open_clip's ``basic_clean`` runs ``ftfy.fix_text`` first; ftfy is not
+    available offline, so ``_fix_mojibake`` reimplements its core
+    UTF-8-decoded-as-cp1252/latin-1 fix — whole-string, iterated to a
+    fixpoint, strictly round-trip-gated so well-formed text is never
+    altered. Remaining delta vs ftfy: per-segment repair of mixed-encoding
+    strings and the long tail of normalisation fixes — see
+    tests/test_tokenizer_goldens.py for the pinned behaviour);
   * the standard CLIP split regex (contractions, letters, numbers,
     punctuation runs);
   * greedy lowest-rank merge loop with the ``</w>`` end-of-word marker.
@@ -51,7 +57,31 @@ def bytes_to_unicode() -> dict[int, str]:
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
+def _fix_mojibake(text: str) -> str:
+    """ftfy's core repair (open_clip basic_clean runs ftfy.fix_text,
+    clip_hardcode.py:59-145 reaches it via open_clip.tokenize): text that
+    is UTF-8 bytes mis-decoded as cp1252/latin-1 ("cafÃ©" → "café").
+    Strictly gated on a successful round-trip, so well-formed text —
+    including emoji and non-Latin scripts, which cp1252 cannot encode —
+    passes through byte-identical. Iterates for doubly-encoded input."""
+    for _ in range(3):
+        if not any(ord(c) > 127 for c in text):
+            return text
+        candidate = None
+        for enc in ("cp1252", "latin-1"):
+            try:
+                candidate = text.encode(enc).decode("utf-8")
+                break
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+        if candidate is None or candidate == text:
+            return text
+        text = candidate
+    return text
+
+
 def _clean(text: str) -> str:
+    text = _fix_mojibake(text)
     text = html.unescape(html.unescape(text))
     text = re.sub(r"\s+", " ", text)
     return text.strip()

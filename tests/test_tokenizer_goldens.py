@@ -1,0 +1,112 @@
+"""Tokenizer golden battery (VERDICT r3 next-round #8).
+
+Pins ``t2v.text.tokenizer.CLIPTokenizer`` — cleaning (ftfy-equivalent
+mojibake repair, double html.unescape, whitespace collapse, lowercase),
+the CLIP split regex, the byte→unicode table, and the lowest-rank-first
+BPE merge loop — against committed golden ids minted by the structurally
+independent oracle in tools/parity/tokenizer_oracle.py.
+
+The published ``bpe_simple_vocab_16e6`` merge data and open_clip itself
+are not available in this offline image, so the goldens run over a
+committed merge table with the real file's structure and deep
+rank-interleaved merge chains (tests/data/tokenizer_merges.txt.gz,
+regenerate with tools/parity/gen_tokenizer_goldens.py). What is pinned is
+the ALGORITHM the reference reaches through open_clip.tokenize
+(clip_hardcode.py:59-145); on the real merge file the same code paths
+execute with different ranks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools", "parity")
+
+from t2v.text.tokenizer import CLIPTokenizer, _fix_mojibake
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return CLIPTokenizer.from_vocab_file(
+        os.path.join(DATA, "tokenizer_merges.txt.gz")
+    )
+
+
+@pytest.fixture(scope="module")
+def goldens():
+    with open(os.path.join(DATA, "tokenizer_goldens.json")) as f:
+        return json.load(f)["goldens"]
+
+
+def test_vocab_layout_matches_real_file_structure(tok):
+    """BOS/EOS land after 2·256 byte tokens + merges, like the real vocab
+    (49406/49407 there)."""
+    with open(os.path.join(DATA, "tokenizer_goldens.json")) as f:
+        n_merges = json.load(f)["n_merges"]
+    assert tok.bos_id == 512 + n_merges
+    assert tok.eos_id == 513 + n_merges
+
+
+def test_golden_battery(tok, goldens):
+    mismatches = {}
+    for prompt, want in goldens.items():
+        got = tok.encode(prompt)
+        if got != want:
+            mismatches[prompt] = (got, want)
+    assert not mismatches, f"{len(mismatches)} golden mismatches: {mismatches}"
+
+
+def test_live_oracle_agreement(tok, goldens):
+    """Belt and braces: re-run the independent oracle in-process (not just
+    the committed ids) over the battery plus extra adversarial strings."""
+    sys.path.insert(0, TOOLS)
+    from tokenizer_oracle import OracleTokenizer, load_merges
+
+    oracle = OracleTokenizer(
+        load_merges(os.path.join(DATA, "tokenizer_merges.txt.gz"))
+    )
+    extra = [
+        "the quick brown fox's 'd 'll",
+        "Ã¼ber naÃ¯ve",  # mojibake for über naïve
+        "a  photo &quot;of&quot; a cat",
+        "🐕🐕🐕",
+        "word" * 30,  # very long unbroken token
+        "((a:0.5)), [b], {c}",
+    ]
+    for prompt in list(goldens) + extra:
+        assert tok.encode(prompt) == oracle.encode(prompt), repr(prompt)
+
+
+class TestMojibakeRepair:
+    """The ftfy-equivalent repair (open_clip basic_clean runs
+    ftfy.fix_text; tokenizer.py::_fix_mojibake reimplements its core)."""
+
+    def test_repairs_single_mojibake(self):
+        assert _fix_mojibake("cafÃ©") == "café"
+        assert _fix_mojibake("naÃ¯ve") == "naïve"
+
+    def test_repairs_double_mojibake(self):
+        assert _fix_mojibake("cafÃƒÂ©") == "café"
+
+    def test_repairs_cyrillic_mojibake(self):
+        assert _fix_mojibake("ÐŸÑ€Ð¸Ð²ÐµÑ‚") == "Привет"
+
+    def test_wellformed_text_untouched(self):
+        for s in ["café", "naïve über", "日本語", "🐈 cat", "plain ascii",
+                  "Привет мир", "emoji 🎥 mix é"]:
+            assert _fix_mojibake(s) == s
+
+    def test_mixed_encoding_conservatively_untouched(self):
+        # a real en-dash beside mojibake: whole-string round-trip fails,
+        # so the conservative repair leaves it alone (documented delta vs
+        # ftfy's per-segment fixing)
+        s = "cafÃ© – menu"
+        assert _fix_mojibake(s) == s
+
+    def test_tokenizer_ids_equal_after_repair(self, tok):
+        assert tok.encode("cafÃ©") == tok.encode("café")
