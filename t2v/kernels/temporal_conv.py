@@ -1,0 +1,296 @@
+"""Fused GroupNorm→SiLU→temporal-conv chain for the ResBlock's
+TemporalConvBlock (reference t2v_model.py:1186-1229).
+
+Motivation (docs/PERF.md, round-3 device profile): at 49% MFU the two
+largest step-time categories sit at the HBM roofline, and the named lever
+is normalisation *traffic* — each GroupNorm site costs a stats pass that
+re-reads the producer's output plus an apply pass that reads it again.
+The TemporalConvBlock is the densest norm region in the UNet (4 of the 6
+GN sites per ResBlock) and its convs are (3,1,1) — pure temporal mixing,
+i.e. per spatial token three C×C GEMMs. That makes the whole
+``GN → SiLU → conv`` layer expressible as ONE Pallas kernel per layer:
+
+  * the layer kernel reads its input tile ONCE, normalises with
+    precomputed group statistics (f32), applies SiLU, runs the temporal
+    conv as three MXU GEMMs over frame-shifted views (zero-padded ends,
+    matching Conv3d padding (1,1) on the frame axis), and writes the
+    output tile ONCE;
+  * its epilogue accumulates the per-group sum/sum² of the *rounded*
+    output — exactly what the NEXT layer's GroupNorm needs — into a tiny
+    (B, 2, G) f32 side output, so no stats pass ever re-reads the tensor;
+  * the statistics of the chain *input* are computed in plain XLA
+    (jnp sums), where the compiler can fuse the read into the producing
+    fusion — the same cost the unfused graph already pays;
+  * the final layer folds the residual add (identity + conv4) into its
+    epilogue instead of emitting stats.
+
+HBM traffic per layer drops from ~2 reads + 2 writes (stat fusion with a
+kOutput rematerialisation + normalise-apply consumer) to 1 read + 1 write.
+Unlike the recorded fusion-barrier failures (blocks.py perf history: a
+standalone GN kernel, the GEGLU kernel), each kernel here *subsumes* the
+producer conv and the normalise+SiLU epilogue — there is no XLA epilogue
+left at the chain's internal boundaries to un-fuse.
+
+Wide channels (C=1280: the 3×C×C weights alone are 9.8 MB) block the
+output-channel axis as the innermost grid dimension; the input tile stays
+resident in VMEM across those steps, so N-blocking costs no extra HBM
+reads — only a recompute of normalise+SiLU per block (VPU work ≪ the
+GEMMs).
+
+Gradients: the public entry is a ``jax.custom_vjp`` whose backward
+recomputes through the plain-XLA reference formulation (``chain_ref``) —
+the same trade the flash-attention SPMD path documents (kernels/spmd.py).
+Training memory/perf is unchanged from the unfused graph; the kernel is
+an inference-path optimisation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+NUM_GROUPS = 32
+
+# scoped-VMEM budget for tile selection (16 MB ceiling, leave headroom for
+# Mosaic's own allocations and lane padding of non-128-multiple channels)
+_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def _largest_divisor(n: int, cap: int) -> int:
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+def _pick_blocks(hw: int, f: int, c: int) -> tuple[int, int]:
+    """(spatial tile, output-channel block) under the VMEM budget.
+
+    Per unit of spatial tile the kernel holds: the double-buffered input
+    tile (bf16), the f32 normalised activation + padded bf16 copy, the f32
+    GEMM accumulator over the N block, and the double-buffered output
+    tile. The weight block 3·C·N rides once.
+    """
+    for n_block in (c, *(m for m in (640, 512, 320, 256, 128) if m < c)):
+        if c % n_block:
+            continue
+        w_bytes = 3 * c * n_block * 2
+        per_tile = f * (4 * c + 4 * c + 2 * c + 4 * n_block + 4 * n_block)
+        cap = (_VMEM_BUDGET - w_bytes) // per_tile
+        if cap >= 1:
+            tile = _largest_divisor(hw, max(1, cap))
+            if tile * f >= 128 or tile == hw:
+                return tile, n_block
+    return 1, 128 if c % 128 == 0 else c
+
+
+def _layer_kernel(
+    stats_ref, scale_ref, bias_ref, w_ref, cb_ref, x_ref, *rest,
+    f: int, hw: int, c: int, n_block: int, eps: float,
+    emit_stats: bool, residual: bool, out_dtype,
+):
+    """One GN→SiLU→temporal-conv layer on a (F, TILE, C) input tile,
+    producing the (F, TILE, N_BLOCK) output slice plus per-channel stat
+    partials. The group fold / mu/inv finalisation lives in tiny XLA glue
+    between kernels (``finalize_stats``): Mosaic's vector layouts reject
+    the (G, gs) <-> (C,) shape casts, and the glue is O(B·C) — nothing."""
+    if residual:
+        res_ref, o_ref = rest[0], rest[1]
+        stats_out_ref = None
+    else:
+        res_ref = None
+        o_ref = rest[0]
+        stats_out_ref = rest[1] if emit_stats else None
+
+    j = pl.program_id(1)
+
+    # stats arrive finalised per channel: (1, 2, C) = [mu_c; inv_c]
+    mu_c = stats_ref[0, 0].reshape(1, 1, c)
+    inv_c = stats_ref[0, 1].reshape(1, 1, c)
+
+    x = x_ref[0].astype(jnp.float32)  # (F, TILE, C)
+    xn = (x - mu_c) * inv_c * scale_ref[0].reshape(1, 1, c) + bias_ref[
+        0
+    ].reshape(1, 1, c)
+    a = jax.nn.silu(xn).astype(w_ref.dtype)
+    tile = a.shape[1]
+    zrow = jnp.zeros((1, tile, c), a.dtype)
+    a_pad = jnp.concatenate([zrow, a, zrow], axis=0)  # (F+2, TILE, C)
+
+    m = f * tile
+    acc = jnp.zeros((m, n_block), jnp.float32)
+    for k in range(3):
+        acc = acc + jax.lax.dot_general(
+            a_pad[k : k + f].reshape(m, c),
+            w_ref[k],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    # bias + residual in the compute dtype, matching the unfused flax
+    # ordering (conv output cast, then bias, then identity add)
+    y = acc.astype(out_dtype) + cb_ref[0].reshape(1, n_block).astype(out_dtype)
+    y = y.reshape(f, tile, n_block)
+    if residual:
+        y = y + res_ref[0]
+    o_ref[0] = y
+
+    if stats_out_ref is not None:
+        y32 = y.astype(jnp.float32)
+
+        @pl.when(j == 0)
+        def _():
+            stats_out_ref[0] = jnp.zeros_like(stats_out_ref[0])
+
+        stats_out_ref[0, 0, :] += y32.sum(axis=(0, 1))
+        stats_out_ref[0, 1, :] += (y32 * y32).sum(axis=(0, 1))
+
+
+def _layer(
+    x, stats, scale, bias, w, cb, *, residual=None, emit_stats: bool,
+    eps: float, interpret: bool,
+):
+    """x: (B, F, HW, C) -> same-shaped output (+ (B, 2, C) channel sums).
+
+    ``stats`` is the FINALISED (B, 2, C) [mu_c; inv_c] from
+    ``finalize_stats``; the emitted side output is raw per-channel
+    sum/sum² for the next layer to finalise."""
+    b, f, hw, c = x.shape
+    tile, n_block = _pick_blocks(hw, f, c)
+    grid = (b, hw // tile, c // n_block)
+
+    in_specs = [
+        pl.BlockSpec((1, 2, c), lambda i, j, n: (i, 0, 0)),
+        pl.BlockSpec((1, c), lambda i, j, n: (0, 0)),
+        pl.BlockSpec((1, c), lambda i, j, n: (0, 0)),
+        pl.BlockSpec((3, c, n_block), lambda i, j, n: (0, 0, n)),
+        pl.BlockSpec((1, n_block), lambda i, j, n: (0, n)),
+        pl.BlockSpec((1, f, tile, c), lambda i, j, n: (i, 0, j, 0)),
+    ]
+    args = [stats, scale.reshape(1, c), bias.reshape(1, c), w,
+            cb.reshape(1, c), x]
+    out_shape = [jax.ShapeDtypeStruct((b, f, hw, c), x.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, f, tile, n_block), lambda i, j, n: (i, 0, j, n))
+    ]
+    if residual is not None:
+        in_specs.append(
+            pl.BlockSpec((1, f, tile, n_block), lambda i, j, n: (i, 0, j, n))
+        )
+        args.append(residual)
+    if emit_stats:
+        out_shape.append(jax.ShapeDtypeStruct((b, 2, c), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 2, n_block), lambda i, j, n: (i, 0, n))
+        )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _layer_kernel, f=f, hw=hw, c=c, n_block=n_block, eps=eps,
+            emit_stats=emit_stats, residual=residual is not None,
+            out_dtype=x.dtype,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+    return out if emit_stats else out[0]
+
+
+def input_stats(x) -> jax.Array:
+    """(B, 2, C) raw per-channel sums of the chain input, in plain XLA so
+    the read can fuse into x's producer (the ResBlock epilogue)."""
+    x32 = x.astype(jnp.float32)
+    return jnp.stack(
+        [x32.sum(axis=(1, 2)), (x32 * x32).sum(axis=(1, 2))], axis=1
+    )
+
+
+def finalize_stats(raw, n_el: int, eps: float) -> jax.Array:
+    """(B, 2, C) raw channel sums -> (B, 2, C) per-channel [mu; 1/sigma]
+    with GroupNorm(32) joint statistics: fold channel sums into groups,
+    compute mu/var/inv per group, expand back to channels. O(B·C) XLA
+    glue between the layer kernels."""
+    b, _, c = raw.shape
+    gs = c // NUM_GROUPS
+    g = raw.reshape(b, 2, NUM_GROUPS, gs).sum(-1)
+    cnt = n_el * gs
+    mu = g[:, 0] / cnt
+    var = g[:, 1] / cnt - mu * mu
+    inv = jax.lax.rsqrt(var + eps)
+    expand = lambda v: jnp.repeat(v, gs, axis=-1)
+    return jnp.stack([expand(mu), expand(inv)], axis=1)
+
+
+def _norm_silu_ref(x, finalized, scale, bias, eps):
+    b, f, hw, c = x.shape
+    mu = finalized[:, 0].reshape(b, 1, 1, c)
+    inv = finalized[:, 1].reshape(b, 1, 1, c)
+    xn = (x.astype(jnp.float32) - mu) * inv
+    xn = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return jax.nn.silu(xn)
+
+
+def chain_ref(x, layers, eps: float = 1e-5):
+    """Plain-XLA reference of the fused chain (also the VJP recompute
+    target). Matches blocks.TemporalConvBlock numerics: f32 GN statistics
+    and SiLU, conv in the compute dtype, zero-padded frame ends."""
+    identity = x
+    h = x
+    for scale, bias, w, cb in layers:
+        stats = finalize_stats(input_stats(h), h.shape[1] * h.shape[2], eps)
+        a = _norm_silu_ref(h, stats, scale, bias, eps).astype(w.dtype)
+        b_, f, hw, c = a.shape
+        a_pad = jnp.pad(a, ((0, 0), (1, 1), (0, 0), (0, 0)))
+        acc = jnp.zeros((b_, f, hw, w.shape[-1]), jnp.float32)
+        for k in range(3):
+            acc = acc + jnp.einsum(
+                "bfnc,cd->bfnd", a_pad[:, k : k + f], w[k],
+                preferred_element_type=jnp.float32,
+            )
+        h = acc.astype(x.dtype) + cb.astype(x.dtype)
+    return identity + h
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _chain(x, layers, eps: float, interpret: bool):
+    n_el = x.shape[1] * x.shape[2]
+    raw = input_stats(x)
+    h = x
+    n = len(layers)
+    for i, (scale, bias, w, cb) in enumerate(layers):
+        last = i == n - 1
+        out = _layer(
+            h, finalize_stats(raw, n_el, eps), scale, bias, w, cb,
+            residual=x if last else None,
+            emit_stats=not last, eps=eps, interpret=interpret,
+        )
+        if last:
+            h = out
+        else:
+            h, raw = out
+    return h
+
+
+def _chain_fwd(x, layers, eps, interpret):
+    return _chain(x, layers, eps, interpret), (x, layers)
+
+
+def _chain_bwd(eps, interpret, res, g):
+    x, layers = res
+    _, vjp = jax.vjp(lambda xx, ll: chain_ref(xx, ll, eps), x, layers)
+    return vjp(g)
+
+
+_chain.defvjp(_chain_fwd, _chain_bwd)
+
+
+def temporal_conv_chain(x, layers, eps: float = 1e-5, interpret: bool = False):
+    """Fused TemporalConvBlock: x (B, F, HW, C), layers = 4 tuples of
+    (gn_scale (C,), gn_bias (C,), w (3, C, C) compute-dtype, conv_bias (C,)).
+    Returns identity + conv-chain output, dtype of x."""
+    return _chain(x, tuple(layers), float(eps), bool(interpret))

@@ -460,16 +460,97 @@ class TemporalTransformer(nn.Module):
         return x + x_in
 
 
+class _ConvParamsShell(nn.Module):
+    """Bare conv parameters with ``nn.Conv``'s names, shapes, and inits —
+    lets the fused temporal-conv path own the weights while staying
+    checkpoint- and init-identical to the unfused ``nn.Conv`` path."""
+
+    features: int
+    in_features: int
+    kernel_size: tuple[int, ...]
+    zero_init: bool
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self):
+        init = (
+            nn.initializers.zeros if self.zero_init
+            else nn.initializers.lecun_normal()
+        )
+        kernel = self.param(
+            "kernel", init,
+            (*self.kernel_size, self.in_features, self.features),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+        )
+        return kernel, bias
+
+
+class _GNParamsShell(nn.Module):
+    """norm{i}/GroupNorm_0/{scale,bias} params without the computation."""
+
+    features: int
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self):
+        return _GNScaleBias(
+            features=self.features, param_dtype=self.param_dtype,
+            name="GroupNorm_0",
+        )()
+
+
 class TemporalConvBlock(nn.Module):
     """4× (GN+SiLU+Conv3d (3,1,1)) residual block, conv4 zero-init
     (t2v_model.py:1186-1229, param name quirk 'temopral_conv' preserved in
-    the checkpoint mapping). Input ``(B, F, H, W, C)``."""
+    the checkpoint mapping). Input ``(B, F, H, W, C)``.
+
+    On TPU the whole block runs as the fused Pallas chain in
+    ``t2v.kernels.temporal_conv`` — one read + one write per layer, group
+    statistics produced in each layer's epilogue instead of separate stat
+    passes (docs/PERF.md norm-traffic lever). The unfused XLA formulation
+    below remains the off-TPU / GSPMD path and the gradient recompute
+    target; both paths share one param tree."""
 
     channels: int
     policy: Policy = Policy()
 
     @nn.compact
     def __call__(self, x):
+        backend = self.policy.temporal_conv_backend
+        if backend is None:
+            backend = "fused" if jax.default_backend() == "tpu" else "xla"
+        if backend == "fused":
+            from t2v.kernels.temporal_conv import temporal_conv_chain
+
+            layers = []
+            for i in range(1, 5):
+                scale, bias = _GNParamsShell(
+                    features=self.channels,
+                    param_dtype=self.policy.param_dtype,
+                    name=f"norm{i}",
+                )()
+                kernel, cb = _ConvParamsShell(
+                    features=self.channels,
+                    in_features=self.channels,
+                    kernel_size=(3, 1, 1),
+                    zero_init=i == 4,
+                    param_dtype=self.policy.param_dtype,
+                    name=f"conv{i}",
+                )()
+                w = kernel.reshape(3, self.channels, self.channels).astype(
+                    self.policy.compute_dtype
+                )
+                layers.append((scale, bias, w, cb))
+            b, f, hh, ww, c = x.shape
+            y = temporal_conv_chain(
+                x.reshape(b, f, hh * ww, c), layers, eps=1e-5,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return y.reshape(b, f, hh, ww, c)
+
         identity = x
         for i in range(1, 5):
             h = GroupNorm32(policy=self.policy, fuse_silu=True,

@@ -1,0 +1,188 @@
+"""Fused GN→SiLU→temporal-conv chain (t2v/kernels/temporal_conv.py).
+
+Pins the Pallas chain (interpret mode on the CPU mesh) against the plain
+XLA reference AND against the unfused flax TemporalConvBlock — the
+production path swaps between them by backend (policy.temporal_conv_backend),
+so the three must agree. Reference semantics under test:
+t2v_model.py:1186-1229 (4× GN+SiLU+Conv3d(3,1,1), conv4 zero-init,
+residual add, zero-padded frame ends).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from t2v.core.dtypes import Policy
+from t2v.kernels.temporal_conv import (
+    chain_ref,
+    input_stats,
+    temporal_conv_chain,
+)
+
+
+def _random_layers(key, c, dtype=jnp.float32, zero_last=False):
+    ks = jax.random.split(key, 16)
+    layers = []
+    for i in range(4):
+        scale = 1.0 + 0.1 * jax.random.normal(ks[4 * i], (c,))
+        bias = 0.1 * jax.random.normal(ks[4 * i + 1], (c,))
+        w = (0.2 * jax.random.normal(ks[4 * i + 2], (3, c, c))).astype(dtype)
+        if zero_last and i == 3:
+            w = jnp.zeros_like(w)
+        cb = 0.1 * jax.random.normal(ks[4 * i + 3], (c,))
+        layers.append((scale, bias, w, cb))
+    return layers
+
+
+class TestChain:
+    def test_matches_reference_f32(self):
+        key = jax.random.key(0)
+        c, f, hw, b = 64, 5, 8, 2
+        x = jax.random.normal(jax.random.key(1), (b, f, hw, c))
+        layers = _random_layers(key, c)
+        got = temporal_conv_chain(x, layers, interpret=True)
+        want = chain_ref(x, layers)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4
+        )
+
+    def test_matches_reference_bf16(self):
+        key = jax.random.key(2)
+        c, f, hw, b = 64, 4, 16, 1
+        x = jax.random.normal(jax.random.key(3), (b, f, hw, c)).astype(
+            jnp.bfloat16
+        )
+        layers = _random_layers(key, c, dtype=jnp.bfloat16)
+        got = temporal_conv_chain(x, layers, interpret=True)
+        want = chain_ref(x, layers)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=0.15, rtol=0.1,
+        )
+
+    def test_zero_init_last_conv_is_identity(self):
+        """Checkpoint-parity gate: conv4 zero-init makes the block an
+        identity at init (t2v_model.py zero_module placement)."""
+        key = jax.random.key(4)
+        c, f, hw, b = 32, 3, 4, 1
+        x = jax.random.normal(jax.random.key(5), (b, f, hw, c))
+        layers = _random_layers(key, c, zero_last=True)
+        layers[3] = (layers[3][0], layers[3][1], layers[3][2],
+                     jnp.zeros((c,)))
+        got = temporal_conv_chain(x, layers, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(x), atol=1e-6)
+
+    def test_n_blocking_path(self):
+        """Force the output-channel-blocked variant (wide channels)."""
+        import t2v.kernels.temporal_conv as tc
+
+        key = jax.random.key(6)
+        c, f, hw, b = 128, 3, 8, 1
+        x = jax.random.normal(jax.random.key(7), (b, f, hw, c))
+        layers = _random_layers(key, c)
+        orig = tc._pick_blocks
+        tc._pick_blocks = lambda hw_, f_, c_: (4, c_ // 2)
+        try:
+            got = temporal_conv_chain(x, layers, interpret=True)
+        finally:
+            tc._pick_blocks = orig
+        want = chain_ref(x, layers)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4
+        )
+
+    def test_stats_match_groupnorm_moments(self):
+        from t2v.kernels.temporal_conv import finalize_stats
+
+        x = jax.random.normal(jax.random.key(8), (2, 3, 8, 64))
+        s = input_stats(x)
+        xc = np.asarray(x, np.float64).reshape(2, 3 * 8, 64)
+        np.testing.assert_allclose(np.asarray(s[:, 0]), xc.sum(1), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(s[:, 1]), (xc * xc).sum(1), rtol=1e-5
+        )
+        fin = np.asarray(finalize_stats(s, 3 * 8, 1e-5))
+        g = 64 // 32
+        xg = xc.reshape(2, 24, 32, g)
+        mu = xg.mean((1, 3))
+        inv = 1.0 / np.sqrt(xg.var((1, 3)) + 1e-5)
+        np.testing.assert_allclose(
+            fin[:, 0], np.repeat(mu, g, -1), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            fin[:, 1], np.repeat(inv, g, -1), rtol=1e-4
+        )
+
+    def test_gradients_flow_via_reference_recompute(self):
+        key = jax.random.key(9)
+        c, f, hw, b = 32, 3, 4, 1
+        x = jax.random.normal(jax.random.key(10), (b, f, hw, c))
+        layers = _random_layers(key, c)
+
+        def loss_fused(x, layers):
+            return jnp.sum(temporal_conv_chain(x, layers, interpret=True) ** 2)
+
+        def loss_ref(x, layers):
+            return jnp.sum(chain_ref(x, layers) ** 2)
+
+        gx_f, gl_f = jax.grad(loss_fused, argnums=(0, 1))(x, tuple(layers))
+        gx_r, gl_r = jax.grad(loss_ref, argnums=(0, 1))(x, tuple(layers))
+        np.testing.assert_allclose(
+            np.asarray(gx_f), np.asarray(gx_r), atol=1e-3, rtol=1e-3
+        )
+        for a, b_ in zip(jax.tree.leaves(gl_f), jax.tree.leaves(gl_r)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-3, rtol=1e-3
+            )
+
+
+class TestModuleIntegration:
+    def test_fused_backend_matches_xla_module(self):
+        """TemporalConvBlock(backend='fused') == backend='xla' on one
+        param tree (the production swap is backend-only)."""
+        import dataclasses
+
+        from t2v.models.blocks import TemporalConvBlock
+
+        c = 32
+        x = jax.random.normal(jax.random.key(11), (2, 4, 4, 4, c))
+        pol_xla = dataclasses.replace(Policy(), temporal_conv_backend="xla")
+        pol_fused = dataclasses.replace(
+            Policy(), temporal_conv_backend="fused"
+        )
+        m_xla = TemporalConvBlock(channels=c, policy=pol_xla)
+        m_fused = TemporalConvBlock(channels=c, policy=pol_fused)
+        params = m_xla.init(jax.random.key(12), x)
+        # zero-init conv4 gates the signal — perturb so all layers matter
+        params = jax.tree.map(
+            lambda a: a + 0.01 if a.size and not np.asarray(a).any() else a,
+            params,
+        )
+        y_xla = m_xla.apply(params, x)
+        y_fused = m_fused.apply(params, x)
+        np.testing.assert_allclose(
+            np.asarray(y_fused), np.asarray(y_xla), atol=2e-4, rtol=2e-4
+        )
+
+    def test_both_backends_init_identical_params(self):
+        import dataclasses
+
+        from t2v.models.blocks import TemporalConvBlock
+
+        c = 32
+        x = jnp.zeros((1, 3, 4, 4, c))
+        p_xla = TemporalConvBlock(
+            channels=c,
+            policy=dataclasses.replace(Policy(), temporal_conv_backend="xla"),
+        ).init(jax.random.key(13), x)
+        p_fused = TemporalConvBlock(
+            channels=c,
+            policy=dataclasses.replace(Policy(), temporal_conv_backend="fused"),
+        ).init(jax.random.key(13), x)
+        fa = jax.tree_util.tree_flatten_with_path(p_xla)[0]
+        fb = jax.tree_util.tree_flatten_with_path(p_fused)[0]
+        assert [k for k, _ in fa] == [k for k, _ in fb]
+        for (ka, va), (_, vb) in zip(fa, fb):
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb)), ka
