@@ -26,9 +26,13 @@ The temporal layout needs no rule of its own: the model transposes to
 ``n`` factor, which is exactly the all-gather frame attention needs under
 sp sharding).
 
-Backward passes are the existing XLA recomputes from
-``t2v.kernels.attention`` — plain einsum programs the partitioner shards
-natively — so every wrapper here is differentiable under a mesh.
+Backwards: the short-seq (fused-MHA) wrappers recompute through the XLA
+einsum formulation — plain programs the partitioner shards natively, and
+at those sequence lengths the (N, S) score matrix is small. The flash
+wrapper's backward is the Pallas FlashAttention-2 backward behind its own
+batch-parallel partitioning rule (same contract as the forward: b
+shardable, n/s/d whole), so mesh training in the long-sequence regime
+never materialises the (N, S) scores — matching the single-chip path.
 
 On non-TPU backends the kernels run in Pallas interpret mode, which is how
 the 8-device virtual CPU mesh proves kernel==XLA bit-parity in CI
@@ -242,21 +246,110 @@ def _cross_diff_bwd(heads, scale, res, g):
 _cross_diff.defvjp(_cross_diff_fwd, _cross_diff_bwd)
 
 
+@functools.lru_cache(maxsize=None)
+def _flash_fwd_partitioned(scale: float, interpret: bool):
+    """Training forward: (out, lse) residual variant, same batch-only
+    partitioning contract as the inference forward."""
+    from t2v.kernels.flash_attention import flash_attention_fwd
+
+    def fwd(q, k, v):
+        return flash_attention_fwd(q, k, v, scale, interpret=interpret)
+
+    f = custom_partitioning(fwd)
+
+    def _shardings(mesh, q_sharding):
+        spec = _spec3(q_sharding)
+        return (
+            NamedSharding(mesh, PartitionSpec(spec[0], None, None)),
+            NamedSharding(mesh, PartitionSpec(spec[0], None)),
+        )
+
+    def infer(mesh, arg_shapes, result_shape):
+        del result_shape
+        return _shardings(mesh, arg_shapes[0].sharding)
+
+    def partition(mesh, arg_shapes, result_shape):
+        del result_shape
+        out_sh = _shardings(mesh, arg_shapes[0].sharding)
+        in_sh = out_sh[0]
+
+        def lower(q, k, v):
+            return flash_attention_fwd(q, k, v, scale, interpret=interpret)
+
+        return mesh, lower, out_sh, (in_sh, in_sh, in_sh)
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b n d, b s d, b s d -> b n d, b n",
+        need_replication_factors=("n", "d", "s"),  # factor-index order
+    )
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_bwd_partitioned(scale: float, interpret: bool):
+    """FlashAttention-2 backward, batch-parallel like the forward — each
+    shard recomputes its own rows' score blocks in VMEM, so the (N, S)
+    matrix never hits HBM on any shard."""
+    from t2v.kernels.flash_attention import flash_attention_bwd
+
+    def bwd(q, k, v, o, lse, do):
+        return flash_attention_bwd(
+            q, k, v, o, lse, do, scale, interpret=interpret
+        )
+
+    f = custom_partitioning(bwd)
+
+    def _shardings(mesh, q_sharding):
+        b = _spec3(q_sharding)[0]
+        sh3 = NamedSharding(mesh, PartitionSpec(b, None, None))
+        sh2 = NamedSharding(mesh, PartitionSpec(b, None))
+        return sh3, sh2
+
+    def infer(mesh, arg_shapes, result_shape):
+        del result_shape
+        sh3, _ = _shardings(mesh, arg_shapes[0].sharding)
+        return (sh3, sh3, sh3)
+
+    def partition(mesh, arg_shapes, result_shape):
+        del result_shape
+        sh3, sh2 = _shardings(mesh, arg_shapes[0].sharding)
+
+        def lower(q, k, v, o, lse, do):
+            return flash_attention_bwd(
+                q, k, v, o, lse, do, scale, interpret=interpret
+            )
+
+        return mesh, lower, (sh3, sh3, sh3), (sh3, sh3, sh3, sh3, sh2, sh3)
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=(
+            "b n d, b s d, b s d, b n d, b n, b n d -> b n d, b s d, b s d"
+        ),
+        need_replication_factors=("n", "d", "s"),  # factor-index order
+    )
+    return f
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_diff(q, k, v, scale):
     return _flash_partitioned(scale, _interpret())(q, k, v)
 
 
 def _flash_diff_fwd(q, k, v, scale):
-    return _flash_diff(q, k, v, scale), (q, k, v)
+    out, lse = _flash_fwd_partitioned(scale, _interpret())(q, k, v)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_diff_bwd(scale, res, g):
-    from t2v.kernels.attention import xla_attention
-
-    q, k, v = res
-    _, vjp = jax.vjp(lambda a, b, c: xla_attention(a, b, c, scale), q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    dq, dk, dv = _flash_bwd_partitioned(scale, _interpret())(
+        q, k, v, o, lse, g.astype(o.dtype)
+    )
+    return dq, dk, dv
 
 
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)

@@ -146,6 +146,29 @@ class TestFlashSPMD:
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
+    def test_grad_batch_sharded_matches_xla(self):
+        """The mesh backward runs the Pallas FA2 kernels behind their own
+        batch partitioning rule (no XLA recompute, no (N, S) scores in
+        HBM) and must match the serial einsum gradient."""
+        mesh = make_mesh(MeshConfig(dp=4), jax.devices()[:4])
+        ks = jax.random.split(jax.random.key(11), 3)
+        q = jax.random.normal(ks[0], (8, 64, 32), jnp.float32)
+        k = jax.random.normal(ks[1], (8, 64, 32), jnp.float32)
+        v = jax.random.normal(ks[2], (8, 64, 32), jnp.float32)
+        w = jnp.cos(jnp.arange(8 * 64 * 32, dtype=jnp.float32)).reshape(
+            8, 64, 32
+        )
+        loss = lambda fn: lambda a, b, c: jnp.sum(fn(a, b, c) * w)
+        g_ref = jax.grad(loss(xla_attention), argnums=(0, 1, 2))(q, k, v)
+        sh = NamedSharding(mesh, P("dp", None, None))
+        g = jax.jit(
+            jax.grad(loss(spmd_flash_attention), argnums=(0, 1, 2))
+        )(jax.device_put(q, sh), jax.device_put(k, sh), jax.device_put(v, sh))
+        for got, want in zip(g, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-4
+            )
+
 
 class TestBackendDispatch:
     """force='fused_spmd' routes the packed entries through the
