@@ -242,7 +242,10 @@ def temporal_attention_packed(
             q, k, v, heads=heads, f=f, scale=scale, interpret=True
         )
     if force is None and on_tpu and f < FLASH_MIN_KV and hd % heads == 0:
-        return _fused_temporal_diff(q, k, v, heads, f, scale)
+        from t2v.kernels.fused_mha import temporal_fits
+
+        if temporal_fits(n, f):
+            return _fused_temporal_diff(q, k, v, heads, f, scale)
     return _unswap_frame_axis(
         self_attention_packed(
             _swap_frame_axis(q, f), _swap_frame_axis(k, f),

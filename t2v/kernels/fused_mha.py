@@ -35,24 +35,38 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # rows of the dense block-diagonal score matrix per grid step; 512 rows of
 # f32 scores is 1 MB of VMEM and a multiple of every MXU tile edge
 _TARGET_ROWS = 512
 
+# Mosaic's default 16 MB scoped-VMEM ceiling is far below the chip's
+# 128 MB and these kernels legitimately need ~20 MB of stack at the widest
+# UNet level (hd=1280, bt·seq=432 measured 19.91 MB at 1024×576 — the
+# first config to cross the default). One custom call runs at a time, so
+# claiming most of VMEM is safe.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _self_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float,
-                     seq: int, bt: int):
+                     seq: int, bt: int, valid: int):
     rows = bt * seq
     hd = q_ref.shape[-1]
     dh = hd // heads
+    # the (bt, seq) -> rows merge is a pure vector-layout cast only when
+    # seq % 8 == 0 (sublane tiling) — the wrapper pads seq to guarantee it
     q = q_ref[...].reshape(rows, hd)
     k = k_ref[...].reshape(rows, hd)
     v = v_ref[...].reshape(rows, hd)
 
-    # block-diagonal mask: row i may attend col j iff same sequence
+    # block-diagonal mask: row i may attend col j iff same sequence;
+    # padded key columns (col position ≥ valid) never receive weight
     row_seq = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // seq
-    col_seq = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1) // seq
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    mask = row_seq == col_iota // seq
+    if valid != seq:
+        mask = mask & (col_iota % seq < valid)
     neg = jnp.float32(-1e30)
 
     for h in range(heads):
@@ -62,7 +76,7 @@ def _self_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float,
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        s = jnp.where(row_seq == col_seq, s, neg)
+        s = jnp.where(mask, s, neg)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
@@ -88,7 +102,7 @@ def _block_seqs(b: int, seq: int) -> int:
 
 
 def _temporal_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int,
-                         scale: float, f: int, nb: int):
+                         scale: float, f: int, nb: int, valid: int):
     """Attention ACROSS the frame axis on the resident spatial layout.
 
     Blocks arrive as (f, nb, H·D) — f frame rows of the same sample, nb
@@ -102,13 +116,18 @@ def _temporal_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int,
     rows = nb * f
     hd = q_ref.shape[-1]
     dh = hd // heads
+    # (nb, f) -> rows merge: pure layout cast only when f % 8 == 0; the
+    # wrapper pads the frame axis and passes the real count as ``valid``
     swap = lambda r: jnp.transpose(r[...], (1, 0, 2)).reshape(rows, hd)
     q = swap(q_ref)
     k = swap(k_ref)
     v = swap(v_ref)
 
     row_seq = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // f
-    col_seq = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1) // f
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    mask = row_seq == col_iota // f
+    if valid != f:
+        mask = mask & (col_iota % f < valid)
     neg = jnp.float32(-1e30)
 
     for h in range(heads):
@@ -118,7 +137,7 @@ def _temporal_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int,
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        s = jnp.where(row_seq == col_seq, s, neg)
+        s = jnp.where(mask, s, neg)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
@@ -129,6 +148,15 @@ def _temporal_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int,
         o_ref[..., sl] = jnp.transpose(
             oh.reshape(nb, f, dh), (1, 0, 2)
         ).astype(o_ref.dtype)
+
+
+def temporal_fits(n: int, f: int) -> bool:
+    """True when ``fused_temporal_mha`` has a Mosaic-legal VMEM tiling for
+    (tokens=n, frames=f); dispatchers fall back to the transposed
+    self-attention path otherwise."""
+    f_p = f + (-f) % 8
+    nb = _legal_block(n, max(1, _TARGET_ROWS // f_p))
+    return nb is not None and (nb * f_p) ** 2 * 4 <= 8 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "f", "scale", "interpret"))
@@ -155,18 +183,43 @@ def fused_temporal_mha(
     b = bf // f
     if scale is None:
         scale = (hd // heads) ** -0.5
-    # spatial tokens per grid step, packing nb·f rows near the target
-    nb = _largest_divisor(n, max(1, _TARGET_ROWS // f))
-    return pl.pallas_call(
+    # the kernel's (nb, f) -> rows merge needs f % 8 == 0 (Mosaic sublane
+    # tiling) — pad the frame axis per sample, mask padded frames in-kernel
+    f_real = f
+    f_pad = (-f) % 8
+    if f_pad:
+        q4 = q.reshape(b, f, n, hd)
+        zs = jnp.zeros((b, f_pad, n, hd), q.dtype)
+        q = jnp.concatenate([q4, zs], axis=1).reshape(b * (f + f_pad), n, hd)
+        k = jnp.concatenate([k.reshape(b, f_real, n, hd), zs],
+                            axis=1).reshape(b * (f + f_pad), n, hd)
+        v = jnp.concatenate([v.reshape(b, f_real, n, hd), zs],
+                            axis=1).reshape(b * (f + f_pad), n, hd)
+        f = f + f_pad
+    # spatial tokens per grid step, packing nb·f rows near the target;
+    # nb is a block second-minor dim so it must be Mosaic-legal, and the
+    # (nb·f)² f32 score tile must stay within VMEM
+    nb = _legal_block(n, max(1, _TARGET_ROWS // f))
+    if nb is None or (nb * f) ** 2 * 4 > 8 * 1024 * 1024:
+        raise ValueError(
+            f"fused_temporal_mha: no Mosaic-legal token block for "
+            f"(f={f_real}, n={n}) — use the transposed self-attention path"
+        )
+    out = pl.pallas_call(
         functools.partial(
-            _temporal_mha_kernel, heads=heads, scale=float(scale), f=f, nb=nb
+            _temporal_mha_kernel, heads=heads, scale=float(scale), f=f,
+            nb=nb, valid=f_real,
         ),
         grid=(b, n // nb),
         in_specs=[pl.BlockSpec((f, nb, hd), lambda i, j: (i, j, 0))] * 3,
         out_specs=pl.BlockSpec((f, nb, hd), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((bf, n, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * f, n, hd), q.dtype),
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(q, k, v)
+    if f_pad:
+        out = out.reshape(b, f, n, hd)[:, :f_real].reshape(bf, n, hd)
+    return out
 
 
 def _cross_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
@@ -217,6 +270,19 @@ def _largest_divisor(n: int, cap: int) -> int:
     return 1
 
 
+def _legal_block(n: int, cap: int) -> int | None:
+    """Largest divisor of ``n`` that Mosaic accepts as a second-minor block
+    dim — a multiple of 8, or ``n`` itself (block == full array dim) —
+    preferring ≤ cap, else the smallest legal one. ``None`` when no
+    divisor is legal (the caller falls back to a transposed/XLA path)."""
+    legal = [d for d in range(1, n + 1)
+             if n % d == 0 and (d == n or d % 8 == 0)]
+    if not legal:
+        return None
+    under = [d for d in legal if d <= cap]
+    return max(under) if under else min(legal)
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
 def fused_cross_mha(
     q: jax.Array,
@@ -238,7 +304,8 @@ def fused_cross_mha(
     s = k.shape[1]
     if scale is None:
         scale = (hd // heads) ** -0.5
-    rb = _largest_divisor(n, _cross_rows_cap(hd))
+    # rb is a block second-minor dim: multiple of 8 or the full n
+    rb = _legal_block(n, _cross_rows_cap(hd)) or n
     return pl.pallas_call(
         functools.partial(_cross_mha_kernel, heads=heads, scale=float(scale)),
         grid=(b, n // rb),
@@ -249,6 +316,7 @@ def fused_cross_mha(
         ],
         out_specs=pl.BlockSpec((1, rb, hd), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n, hd), q.dtype),
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(q, k, v)
 
@@ -270,10 +338,20 @@ def fused_self_mha(
     b, n, hd = q.shape
     if scale is None:
         scale = (hd // heads) ** -0.5
-    bt = _block_seqs(b, n)
+    # the kernel's (bt, seq) -> rows merge needs seq % 8 == 0 (Mosaic
+    # sublane tiling; a 125-frame temporal attention caught this) — pad
+    # the sequence and mask the padded key columns in-kernel
+    seq_pad = (-n) % 8
+    if seq_pad:
+        zs = jnp.zeros((b, seq_pad, hd), q.dtype)
+        q = jnp.concatenate([q, zs], axis=1)
+        k = jnp.concatenate([k, zs], axis=1)
+        v = jnp.concatenate([v, zs], axis=1)
+    n_p = n + seq_pad
+    bt = _block_seqs(b, n_p)
     pad = (-b) % bt
     if pad:
-        zeros = jnp.zeros((pad, n, hd), q.dtype)
+        zeros = jnp.zeros((pad, n_p, hd), q.dtype)
         q = jnp.concatenate([q, zeros])
         k = jnp.concatenate([k, zeros])
         v = jnp.concatenate([v, zeros])
@@ -281,12 +359,16 @@ def fused_self_mha(
 
     out = pl.pallas_call(
         functools.partial(
-            _self_mha_kernel, heads=heads, scale=float(scale), seq=n, bt=bt
+            _self_mha_kernel, heads=heads, scale=float(scale), seq=n_p,
+            bt=bt, valid=n,
         ),
         grid=(bp // bt,),
-        in_specs=[pl.BlockSpec((bt, n, hd), lambda i: (i, 0, 0))] * 3,
-        out_specs=pl.BlockSpec((bt, n, hd), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bp, n, hd), q.dtype),
+        in_specs=[pl.BlockSpec((bt, n_p, hd), lambda i: (i, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((bt, n_p, hd), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, n_p, hd), q.dtype),
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(q, k, v)
-    return out[:b] if pad else out
+    if pad:
+        out = out[:b]
+    return out[:, :n] if seq_pad else out

@@ -59,32 +59,42 @@ NUM_GROUPS = 32
 _VMEM_BUDGET = 11 * 1024 * 1024
 
 
-def _largest_divisor(n: int, cap: int) -> int:
-    for d in range(min(cap, n), 0, -1):
-        if n % d == 0:
-            return d
-    return 1
+def _pick_blocks(hw: int, f: int, c: int) -> tuple[int, int] | None:
+    """(spatial tile, output-channel block) under the VMEM budget, or
+    ``None`` when no Mosaic-legal tiling fits (the caller falls back to the
+    XLA formulation — see ``fits``).
 
-
-def _pick_blocks(hw: int, f: int, c: int) -> tuple[int, int]:
-    """(spatial tile, output-channel block) under the VMEM budget.
+    Mosaic requires the last two dims of every block — here (TILE, N) —
+    to be divisible by (8, 128) or equal to the full array dims (hw, c);
+    a 125-frame run caught the original heuristic picking TILE=4.
 
     Per unit of spatial tile the kernel holds: the double-buffered input
     tile (bf16), the f32 normalised activation + padded bf16 copy, the f32
     GEMM accumulator over the N block, and the double-buffered output
     tile. The weight block 3·C·N rides once.
     """
-    for n_block in (c, *(m for m in (640, 512, 320, 256, 128) if m < c)):
-        if c % n_block:
-            continue
+    n_cands = [c] + [
+        m for m in range((c // 128) * 128, 0, -128) if m < c and c % m == 0
+    ]
+    for n_block in n_cands:
         w_bytes = 3 * c * n_block * 2
         per_tile = f * (4 * c + 4 * c + 2 * c + 4 * n_block + 4 * n_block)
         cap = (_VMEM_BUDGET - w_bytes) // per_tile
-        if cap >= 1:
-            tile = _largest_divisor(hw, max(1, cap))
-            if tile * f >= 128 or tile == hw:
+        if cap < 1:
+            continue
+        if hw <= cap:
+            return hw, n_block  # block == full spatial dim: always legal
+        for tile in range((min(cap, hw) // 8) * 8, 0, -8):
+            if hw % tile == 0:
                 return tile, n_block
-    return 1, 128 if c % 128 == 0 else c
+    return None
+
+
+def fits(f: int, hw: int, c: int) -> bool:
+    """True when the fused chain has a Mosaic-legal VMEM tiling for this
+    shape. The chain keeps C constant across layers, so one check covers
+    all four kernels."""
+    return _pick_blocks(hw, f, c) is not None
 
 
 def _layer_kernel(
@@ -158,7 +168,13 @@ def _layer(
     ``finalize_stats``; the emitted side output is raw per-channel
     sum/sum² for the next layer to finalise."""
     b, f, hw, c = x.shape
-    tile, n_block = _pick_blocks(hw, f, c)
+    blocks = _pick_blocks(hw, f, c)
+    if blocks is None:
+        raise ValueError(
+            f"no Mosaic-legal VMEM tiling for temporal conv chain shape "
+            f"(f={f}, hw={hw}, c={c}) — gate the call on fits()"
+        )
+    tile, n_block = blocks
     grid = (b, hw // tile, c // n_block)
 
     in_specs = [

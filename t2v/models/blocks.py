@@ -523,6 +523,15 @@ class TemporalConvBlock(nn.Module):
         if backend is None:
             backend = "fused" if jax.default_backend() == "tpu" else "xla"
         if backend == "fused":
+            from t2v.kernels.temporal_conv import fits, temporal_conv_chain
+
+            bb, ff, hh_, ww_, _ = x.shape
+            if not fits(ff, hh_ * ww_, self.channels):
+                # no Mosaic-legal VMEM tiling at this shape (e.g. 250
+                # frames at full res) — this block takes the XLA
+                # formulation; params are shared so mixing is free
+                backend = "xla"
+        if backend == "fused":
             from t2v.kernels.temporal_conv import temporal_conv_chain
 
             layers = []

@@ -20,6 +20,7 @@ from t2v.kernels.fused_mha import _block_seqs, fused_self_mha
         (6, 24, 8, 64),   # temporal, frames=24
         (5, 16, 10, 64),  # temporal, frames=16 (b does not divide bt target)
         (3, 77, 8, 32),   # cross-attention-shaped (padding path)
+        (2, 125, 4, 16),  # frames=125: seq % 8 != 0 (Mosaic pad path)
         (4, 256, 5, 64),  # low-res spatial self
         (1, 8, 2, 16),    # minimal
     ],
@@ -126,6 +127,7 @@ def test_cross_shared_context_merge_equals_per_frame():
         (2, 24, 64, 8, 64),   # frames=24, 8x8 tokens
         (2, 16, 36, 4, 32),   # frames=16, non-pow2 tokens
         (1, 5, 128, 2, 16),   # odd frame count
+        (1, 125, 16, 2, 16),  # frames=125: f % 8 != 0 (Mosaic pad path)
         (3, 8, 7, 2, 16),     # prime token count (nb=7 or 1)
     ],
 )

@@ -186,3 +186,74 @@ class TestModuleIntegration:
         assert [k for k, _ in fa] == [k for k, _ in fb]
         for (ka, va), (_, vb) in zip(fa, fb):
             np.testing.assert_array_equal(np.asarray(va), np.asarray(vb)), ka
+
+
+class TestBlockPicker:
+    """Mosaic legality: block (TILE, N) dims must be divisible by (8, 128)
+    or equal the full (hw, c). A 125-frame bench run caught the original
+    heuristic returning TILE=4 (t2v/kernels/temporal_conv.py _pick_blocks)."""
+
+    def test_legal_over_realistic_shapes(self):
+        from t2v.kernels.temporal_conv import _pick_blocks
+
+        frames = (8, 16, 24, 125, 250)
+        levels = (
+            (32 * 32, 320), (16 * 16, 640), (8 * 8, 1280), (4 * 4, 1280),
+            (128 * 72, 320), (64 * 36, 640), (32 * 18, 1280), (16 * 9, 1280),
+        )
+        for f in frames:
+            for hw, c in levels:
+                got = _pick_blocks(hw, f, c)
+                if got is None:
+                    continue  # legal: caller falls back to XLA
+                tile, n = got
+                assert hw % tile == 0 and c % n == 0, (f, hw, c, got)
+                assert tile == hw or tile % 8 == 0, (f, hw, c, got)
+                assert n == c or n % 128 == 0, (f, hw, c, got)
+
+    def test_125f_shape_matches_reference(self):
+        # the exact failure class: f large enough that the VMEM cap forces
+        # a small spatial tile
+        from t2v.kernels.temporal_conv import _pick_blocks
+
+        c, hw, f = 128, 64, 125
+        picked = _pick_blocks(hw, f, c)
+        assert picked is not None
+        key = jax.random.key(21)
+        layers = _random_layers(key, c)
+        x = 0.5 * jax.random.normal(jax.random.key(22), (1, f, hw, c))
+        out = temporal_conv_chain(x, layers, interpret=True)
+        ref = chain_ref(x, layers)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4
+        )
+
+    def test_unfittable_shape_falls_back_to_xla(self):
+        import dataclasses
+
+        from t2v.kernels.temporal_conv import fits
+        from t2v.models.blocks import TemporalConvBlock
+
+        # c=96: no multiple-of-128 sub-block exists, and a frame count high
+        # enough that even the full-c block misses the VMEM budget
+        assert not fits(4096, 4096, 96)
+        c = 32
+        x = 0.1 * jax.random.normal(jax.random.key(3), (1, 3, 4, 4, c))
+        blk_fused = TemporalConvBlock(
+            channels=c,
+            policy=dataclasses.replace(Policy(), temporal_conv_backend="fused"),
+        )
+        params = blk_fused.init(jax.random.key(4), x)
+        params = jax.tree.map(
+            lambda a: a + 0.01 if a.size and not np.asarray(a).any() else a,
+            params,
+        )
+        blk_xla = TemporalConvBlock(
+            channels=c,
+            policy=dataclasses.replace(Policy(), temporal_conv_backend="xla"),
+        )
+        np.testing.assert_allclose(
+            np.asarray(blk_fused.apply(params, x)),
+            np.asarray(blk_xla.apply(params, x)),
+            atol=2e-4, rtol=2e-4,
+        )

@@ -125,8 +125,15 @@ def main() -> None:
         jax.random.key(11), lat
     ) * inp_mask
 
+    # partial re-runs (--only) merge into an existing artifact instead of
+    # clobbering the rows they skip
     results: dict[str, float] = {}
     meta: dict[str, dict] = {}
+    if ns.only is not None and os.path.exists(ns.out):
+        with open(ns.out) as f:
+            prev = json.load(f)
+        results.update(prev.get("results", {}))
+        meta.update(prev.get("shapes", {}))
 
     def record(name: str, seconds: float, **shape):
         results[name] = seconds
@@ -141,7 +148,7 @@ def main() -> None:
             f.write("\n")
 
     def wants(name: str) -> bool:
-        return ns.only is None or ns.only == name
+        return ns.only is None or name in ns.only.split(",")
 
     shape24 = dict(frames=FRAMES, px=H, steps=STEPS)
     for sampler in ("DDIM_Gaussian", "DDIM", "UniPC", "DPM++ 2M", "Euler a"):

@@ -58,7 +58,17 @@ def main() -> None:
 
     inp = np.load(args.inputs)
     gold = np.load(args.golden)
-    report: dict = {"device": str(jax.devices()[0]).lower()}
+    import datetime
+    import subprocess
+
+    report: dict = {
+        "device": str(jax.devices()[0]).lower(),
+        "commit": subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd="/root/repo",
+        ).stdout.strip(),
+        "date": datetime.date.today().isoformat(),
+    }
 
     vae_cfg = clip_cfg = None
     if args.small:

@@ -39,7 +39,17 @@ def main() -> None:
     from t2v.pipeline.videocrafter import VideoCrafterPipeline
 
     gold = np.load(os.path.join(args.dir, "golden_vc.npz"))
-    report: dict = {"device": str(jax.devices()[0]).lower()}
+    import datetime
+    import subprocess
+
+    report: dict = {
+        "device": str(jax.devices()[0]).lower(),
+        "commit": subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd="/root/repo",
+        ).stdout.strip(),
+        "date": datetime.date.today().isoformat(),
+    }
 
     t0 = time.time()
     pipe = VideoCrafterPipeline.from_model_dir(args.dir, policy=Policy.fp32())
