@@ -59,7 +59,10 @@ NUM_GROUPS = 32
 _VMEM_BUDGET = 11 * 1024 * 1024
 
 
-def _pick_blocks(hw: int, f: int, c: int) -> tuple[int, int] | None:
+def _pick_blocks(
+    hw: int, f: int, c: int, x_isz: int = 2, w_isz: int = 2,
+    residual: bool = False,
+) -> tuple[int, int] | None:
     """(spatial tile, output-channel block) under the VMEM budget, or
     ``None`` when no Mosaic-legal tiling fits (the caller falls back to the
     XLA formulation — see ``fits``).
@@ -69,16 +72,28 @@ def _pick_blocks(hw: int, f: int, c: int) -> tuple[int, int] | None:
     a 125-frame run caught the original heuristic picking TILE=4.
 
     Per unit of spatial tile the kernel holds: the double-buffered input
-    tile (bf16), the f32 normalised activation + padded bf16 copy, the f32
-    GEMM accumulator over the N block, and the double-buffered output
-    tile. The weight block 3·C·N rides once.
+    tile, the f32 normalised activation + padded compute-dtype copy, the
+    f32 GEMM accumulator over the N block, the double-buffered output
+    tile, and (last layer) the double-buffered residual tile. The weight
+    block 3·C·N rides once. Sizes follow the ACTUAL dtypes — the round-4
+    parity run (fp32 policy, "highest" precision) caught the original
+    bf16-only arithmetic blowing the 41 MB scoped-VMEM stack limit by
+    2.7% at (f=16, hw=1024, c=320, residual).
     """
     n_cands = [c] + [
         m for m in range((c // 128) * 128, 0, -128) if m < c and c % m == 0
     ]
     for n_block in n_cands:
-        w_bytes = 3 * c * n_block * 2
-        per_tile = f * (4 * c + 4 * c + 2 * c + 4 * n_block + 4 * n_block)
+        w_bytes = 3 * c * n_block * w_isz
+        per_tile = f * (
+            2 * x_isz * c        # double-buffered input tile
+            + 4 * c              # f32 normalised activation
+            + w_isz * c          # frame-padded compute-dtype copy
+            + 4 * n_block        # f32 GEMM accumulator
+            + 2 * x_isz * n_block  # double-buffered output tile
+        )
+        if residual:
+            per_tile += f * 2 * x_isz * n_block  # double-buffered residual
         cap = (_VMEM_BUDGET - w_bytes) // per_tile
         if cap < 1:
             continue
@@ -90,11 +105,14 @@ def _pick_blocks(hw: int, f: int, c: int) -> tuple[int, int] | None:
     return None
 
 
-def fits(f: int, hw: int, c: int) -> bool:
+def fits(
+    f: int, hw: int, c: int, x_isz: int = 2, w_isz: int = 2
+) -> bool:
     """True when the fused chain has a Mosaic-legal VMEM tiling for this
-    shape. The chain keeps C constant across layers, so one check covers
-    all four kernels."""
-    return _pick_blocks(hw, f, c) is not None
+    shape at these dtypes. The chain keeps C constant across layers and
+    the residual (last) layer is the largest, so one conservative check
+    covers all four kernels."""
+    return _pick_blocks(hw, f, c, x_isz, w_isz, residual=True) is not None
 
 
 def _layer_kernel(
@@ -168,7 +186,11 @@ def _layer(
     ``finalize_stats``; the emitted side output is raw per-channel
     sum/sum² for the next layer to finalise."""
     b, f, hw, c = x.shape
-    blocks = _pick_blocks(hw, f, c)
+    blocks = _pick_blocks(
+        hw, f, c,
+        jnp.dtype(x.dtype).itemsize, jnp.dtype(w.dtype).itemsize,
+        residual=residual is not None,
+    )
     if blocks is None:
         raise ValueError(
             f"no Mosaic-legal VMEM tiling for temporal conv chain shape "

@@ -526,7 +526,11 @@ class TemporalConvBlock(nn.Module):
             from t2v.kernels.temporal_conv import fits, temporal_conv_chain
 
             bb, ff, hh_, ww_, _ = x.shape
-            if not fits(ff, hh_ * ww_, self.channels):
+            if not fits(
+                ff, hh_ * ww_, self.channels,
+                jnp.dtype(x.dtype).itemsize,
+                jnp.dtype(self.policy.compute_dtype).itemsize,
+            ):
                 # no Mosaic-legal VMEM tiling at this shape (e.g. 250
                 # frames at full res) — this block takes the XLA
                 # formulation; params are shared so mixing is free

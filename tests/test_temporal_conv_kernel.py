@@ -83,7 +83,7 @@ class TestChain:
         x = jax.random.normal(jax.random.key(7), (b, f, hw, c))
         layers = _random_layers(key, c)
         orig = tc._pick_blocks
-        tc._pick_blocks = lambda hw_, f_, c_: (4, c_ // 2)
+        tc._pick_blocks = lambda hw_, f_, c_, *a, **k: (4, c_ // 2)
         try:
             got = temporal_conv_chain(x, layers, interpret=True)
         finally:
@@ -222,6 +222,51 @@ class TestBlockPicker:
         key = jax.random.key(21)
         layers = _random_layers(key, c)
         x = 0.5 * jax.random.normal(jax.random.key(22), (1, f, hw, c))
+        out = temporal_conv_chain(x, layers, interpret=True)
+        ref = chain_ref(x, layers)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4
+        )
+
+    def test_dtype_aware_sizing(self):
+        """fp32 tiles must shrink vs bf16: the round-4 full-scale parity
+        run (fp32 policy) blew the 41 MB scoped-VMEM stack limit at
+        (f=16, hw=1024, c=320, residual) because the original arithmetic
+        priced every buffer as bf16. bf16 picks must NOT change (the
+        on-chip perf record was measured at those tilings)."""
+        from t2v.kernels.temporal_conv import _pick_blocks, fits
+
+        # the exact overflow shape: fp32 residual layer halves the tile
+        assert _pick_blocks(1024, 16, 320, 2, 2, residual=False) == (64, 320)
+        assert _pick_blocks(1024, 16, 320, 4, 4, residual=True) == (32, 320)
+        assert fits(16, 1024, 320, 4, 4)
+
+        # fp32 never picks a larger footprint than bf16 at any tracked shape
+        frames = (8, 16, 24, 125)
+        levels = (
+            (32 * 32, 320), (16 * 16, 640), (8 * 8, 1280), (4 * 4, 1280),
+            (128 * 72, 320), (64 * 36, 640), (32 * 18, 1280), (16 * 9, 1280),
+        )
+        for f in frames:
+            for hw, c in levels:
+                for res in (False, True):
+                    b16 = _pick_blocks(hw, f, c, 2, 2, residual=res)
+                    f32 = _pick_blocks(hw, f, c, 4, 4, residual=res)
+                    if f32 is None:
+                        continue
+                    assert b16 is not None, (f, hw, c, res)
+                    assert f32[0] * f32[1] <= b16[0] * b16[1], (f, hw, c, res)
+
+    def test_fused_matches_ref_in_f32_tiling(self):
+        """Run the fp32-tiled kernel (interpret) against chain_ref at a
+        scaled-down analogue of the parity shape."""
+        import t2v.kernels.temporal_conv as tc
+
+        c, f, hw = 64, 5, 32
+        key = jax.random.key(30)
+        layers = _random_layers(key, c)
+        x = 0.5 * jax.random.normal(jax.random.key(31), (1, f, hw, c))
+        assert x.dtype == jnp.float32
         out = temporal_conv_chain(x, layers, interpret=True)
         ref = chain_ref(x, layers)
         np.testing.assert_allclose(
