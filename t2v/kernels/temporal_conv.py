@@ -54,9 +54,20 @@ from jax.experimental import pallas as pl
 
 NUM_GROUPS = 32
 
-# scoped-VMEM budget for tile selection (16 MB ceiling, leave headroom for
-# Mosaic's own allocations and lane padding of non-128-multiple channels)
+# scoped-VMEM budget for tile selection. The model below underestimates
+# Mosaic's true scoped-stack allocation by a large constant factor
+# (pipelining double-buffers, materialised scratch for the normalise/pad/
+# cast temporaries, relayouts): measured overflows put actual/modelled at
+# 3.2× (f32 tile(64,320): 42.10 M real) and 3.9× (f32 tile(16,256) at
+# C=1280: 41.25 M real) against the 41 M scoped-vmem limit. The bf16
+# budget is CALIBRATED BY MEASUREMENT at every tracked shape (the on-chip
+# perf record was taken at those tilings) — do not retune it from the
+# model. The fp32 parity path gets a tighter budget sized so that
+# 4× the modelled footprint stays under the 41 M limit, and prices the
+# weight block double-buffered (its index map varies over the innermost
+# grid dim, so Mosaic pipelines it).
 _VMEM_BUDGET = 11 * 1024 * 1024
+_VMEM_BUDGET_F32 = 9 * 1024 * 1024
 
 
 def _pick_blocks(
@@ -74,17 +85,23 @@ def _pick_blocks(
     Per unit of spatial tile the kernel holds: the double-buffered input
     tile, the f32 normalised activation + padded compute-dtype copy, the
     f32 GEMM accumulator over the N block, the double-buffered output
-    tile, and (last layer) the double-buffered residual tile. The weight
-    block 3·C·N rides once. Sizes follow the ACTUAL dtypes — the round-4
-    parity run (fp32 policy, "highest" precision) caught the original
-    bf16-only arithmetic blowing the 41 MB scoped-VMEM stack limit by
-    2.7% at (f=16, hw=1024, c=320, residual).
+    tile, and (last layer) the double-buffered residual tile. Sizes follow
+    the ACTUAL dtypes, and the fp32 path additionally prices the weight
+    block double-buffered under a tighter budget (see the budget comment
+    above) — the round-4 parity runs (fp32 policy, "highest" precision)
+    caught the original bf16-only arithmetic blowing the 41 MB scoped-VMEM
+    stack limit at BOTH (f=16, hw=1024, c=320, residual; 42.10 M) and
+    (f=16, hw=64, c=1280, residual; 41.25 M).
     """
+    f32 = x_isz >= 4 or w_isz >= 4
+    budget = _VMEM_BUDGET_F32 if f32 else _VMEM_BUDGET
     n_cands = [c] + [
         m for m in range((c // 128) * 128, 0, -128) if m < c and c % m == 0
     ]
     for n_block in n_cands:
         w_bytes = 3 * c * n_block * w_isz
+        if f32:
+            w_bytes *= 2  # double-buffered over the N grid dim
         per_tile = f * (
             2 * x_isz * c        # double-buffered input tile
             + 4 * c              # f32 normalised activation
@@ -94,7 +111,7 @@ def _pick_blocks(
         )
         if residual:
             per_tile += f * 2 * x_isz * n_block  # double-buffered residual
-        cap = (_VMEM_BUDGET - w_bytes) // per_tile
+        cap = (budget - w_bytes) // per_tile
         if cap < 1:
             continue
         if hw <= cap:

@@ -236,10 +236,23 @@ class TestBlockPicker:
         on-chip perf record was measured at those tilings)."""
         from t2v.kernels.temporal_conv import _pick_blocks, fits
 
-        # the exact overflow shape: fp32 residual layer halves the tile
+        # the exact overflow shapes: fp32 residual layers shrink the tile
+        # (both overflowed the 41 MB scoped-vmem limit on chip before the
+        # dtype-aware sizing: 42.10 M at (1024, 320), 41.25 M at the old
+        # (16, 256) pick for (64, 1280))
         assert _pick_blocks(1024, 16, 320, 2, 2, residual=False) == (64, 320)
         assert _pick_blocks(1024, 16, 320, 4, 4, residual=True) == (32, 320)
+        assert _pick_blocks(64, 16, 1280, 4, 4, residual=True) == (8, 128)
         assert fits(16, 1024, 320, 4, 4)
+        assert fits(16, 64, 1280, 4, 4)
+
+        # bf16 picks are calibrated by on-chip measurement and must never
+        # move when the f32 budget is retuned (the perf record was taken
+        # at these tilings)
+        assert _pick_blocks(1024, 16, 320, 2, 2) == (64, 320)
+        assert _pick_blocks(256, 16, 640, 2, 2) == (32, 640)
+        assert _pick_blocks(64, 16, 1280, 2, 2) == (16, 640)
+        assert _pick_blocks(16, 16, 1280, 2, 2) == (16, 640)
 
         # fp32 never picks a larger footprint than bf16 at any tracked shape
         frames = (8, 16, 24, 125)
