@@ -124,6 +124,7 @@ def create_app(pipe=None, models_root: Optional[str] = None):
         inpaint_mode: Union[str, None] = None,
         vc_sample_type: Union[str, None] = None,
         uc_type: Union[str, None] = None,
+        keep_in_vram: Union[str, None] = None,
     ):
         query = dict(
             prompt=prompt, n_prompt=n_prompt, model=model,
@@ -141,6 +142,7 @@ def create_app(pipe=None, models_root: Optional[str] = None):
             enable_emphasis=enable_emphasis,
             inpaint_mode=inpaint_mode,
             vc_sample_type=vc_sample_type, uc_type=uc_type,
+            keep_in_vram=keep_in_vram,
         )
         uploads: dict[str, bytes] = {}
         if inpainting_image is not None:

@@ -186,8 +186,15 @@ def latest_train_state(root: str) -> str | None:
     return best
 
 
-def load_native(model_dir: str) -> dict[str, Any]:
-    """Returns {meta, unet_params, vae_params, clip_params}."""
+def load_native(
+    model_dir: str, only: tuple[str, ...] | None = None
+) -> dict[str, Any]:
+    """Returns {meta, unet_params, vae_params, clip_params}.
+
+    Each component tree lives in its own orbax dir, so ``only`` restricts
+    the restore to the named components (e.g. ``("vae", "clip")`` for
+    ``reload_aux`` — re-materialising the UNet just to discard it would
+    double peak memory). Unrestored keys come back ``None``."""
     with open(os.path.join(model_dir, "t2v_native.json")) as f:
         meta = json.load(f)
     if meta["format_version"] > FORMAT_VERSION:
@@ -196,14 +203,21 @@ def load_native(model_dir: str) -> dict[str, Any]:
             f"this build ({FORMAT_VERSION})"
         )
     ckpt = _checkpointer()
+    want = lambda name: only is None or name in only
     out = {
         "meta": meta,
-        "unet_params": ckpt.restore(os.path.join(model_dir, "unet")),
-        "vae_params": ckpt.restore(os.path.join(model_dir, "vae")),
-        "clip_params": ckpt.restore(os.path.join(model_dir, "clip")),
+        "unet_params": (
+            ckpt.restore(os.path.join(model_dir, "unet")) if want("unet") else None
+        ),
+        "vae_params": (
+            ckpt.restore(os.path.join(model_dir, "vae")) if want("vae") else None
+        ),
+        "clip_params": (
+            ckpt.restore(os.path.join(model_dir, "clip")) if want("clip") else None
+        ),
         "cond_stage2_params": None,
     }
     cs2 = os.path.join(model_dir, "cond_stage2")
-    if os.path.exists(cs2):
+    if os.path.exists(cs2) and want("cond_stage2"):
         out["cond_stage2_params"] = ckpt.restore(cs2)
     return out

@@ -156,7 +156,7 @@ def temporal_fits(n: int, f: int) -> bool:
     self-attention path otherwise."""
     f_p = f + (-f) % 8
     nb = _legal_block(n, max(1, _TARGET_ROWS // f_p))
-    return nb is not None and (nb * f_p) ** 2 * 4 <= 8 * 1024 * 1024
+    return (nb * f_p) ** 2 * 4 <= 8 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "f", "scale", "interpret"))
@@ -200,10 +200,10 @@ def fused_temporal_mha(
     # nb is a block second-minor dim so it must be Mosaic-legal, and the
     # (nb·f)² f32 score tile must stay within VMEM
     nb = _legal_block(n, max(1, _TARGET_ROWS // f))
-    if nb is None or (nb * f) ** 2 * 4 > 8 * 1024 * 1024:
+    if (nb * f) ** 2 * 4 > 8 * 1024 * 1024:
         raise ValueError(
-            f"fused_temporal_mha: no Mosaic-legal token block for "
-            f"(f={f_real}, n={n}) — use the transposed self-attention path"
+            f"fused_temporal_mha: no Mosaic-legal token block within VMEM "
+            f"for (f={f_real}, n={n}) — use the transposed self-attention path"
         )
     out = pl.pallas_call(
         functools.partial(
@@ -260,25 +260,14 @@ def _cross_rows_cap(hd: int) -> int:
     return max(256, min(_CROSS_TARGET_ROWS, _CROSS_VMEM_BUDGET // (8 * hd + 1664)))
 
 
-def _largest_divisor(n: int, cap: int) -> int:
-    """Largest divisor of ``n`` that is ≤ cap (≥ 1). Block-size selection
-    for grids over axes that are (frames·tokens) products — highly
-    composite, so a useful divisor always exists and wrappers never pad."""
-    for d in range(min(cap, n), 0, -1):
-        if n % d == 0:
-            return d
-    return 1
-
-
-def _legal_block(n: int, cap: int) -> int | None:
+def _legal_block(n: int, cap: int) -> int:
     """Largest divisor of ``n`` that Mosaic accepts as a second-minor block
     dim — a multiple of 8, or ``n`` itself (block == full array dim) —
-    preferring ≤ cap, else the smallest legal one. ``None`` when no
-    divisor is legal (the caller falls back to a transposed/XLA path)."""
+    preferring ≤ cap, else the smallest legal one. Always succeeds
+    (``n`` itself is legal); whether the resulting block FITS is the
+    caller's separate VMEM score-size check."""
     legal = [d for d in range(1, n + 1)
              if n % d == 0 and (d == n or d % 8 == 0)]
-    if not legal:
-        return None
     under = [d for d in legal if d <= cap]
     return max(under) if under else min(legal)
 
@@ -305,7 +294,7 @@ def fused_cross_mha(
     if scale is None:
         scale = (hd // heads) ** -0.5
     # rb is a block second-minor dim: multiple of 8 or the full n
-    rb = _legal_block(n, _cross_rows_cap(hd)) or n
+    rb = _legal_block(n, _cross_rows_cap(hd))
     return pl.pallas_call(
         functools.partial(_cross_mha_kernel, heads=heads, scale=float(scale)),
         grid=(b, n // rb),

@@ -42,6 +42,17 @@ recomputes through the plain-XLA reference formulation (``chain_ref``) —
 the same trade the flash-attention SPMD path documents (kernels/spmd.py).
 Training memory/perf is unchanged from the unfused graph; the kernel is
 an inference-path optimisation.
+
+Stats-revisit note (round-4 review): with ``c // n_block > 1`` the stats
+side output's blocks are revisited NON-consecutively (the accumulation
+runs over grid dim j while n is innermost). This is correct on TPU
+hardware — verified empirically at the worst revisit pattern (f32 pick
+(8, 128) at C=1280: TEN n-steps between revisits, matches ``chain_ref``
+to rel 2e-06 on the real chip) and byte-identical between hardware and
+the faithful interpreter at the bf16 hot-path tiling. The bf16
+fused-vs-XLA delta at C=1280 (max rel ~3.5e-02) is shared-input
+bf16 rounding, not kernel error: against the fp32 ground truth both
+formulations measure the SAME max rel 3.96e-02 / mean 5.28e-03.
 """
 
 from __future__ import annotations

@@ -536,8 +536,6 @@ class TemporalConvBlock(nn.Module):
                 # formulation; params are shared so mixing is free
                 backend = "xla"
         if backend == "fused":
-            from t2v.kernels.temporal_conv import temporal_conv_chain
-
             layers = []
             for i in range(1, 5):
                 scale, bias = _GNParamsShell(

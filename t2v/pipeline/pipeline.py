@@ -259,14 +259,24 @@ class ModelScopePipeline:
                 "cannot reload VAE/CLIP: pipeline has no model_dir "
                 "(random-init pipelines cannot use 'Main Model Only')"
             )
-        from t2v.io.orbax_io import is_native_checkpoint
+        from t2v.io.orbax_io import is_native_checkpoint, load_native
 
         if is_native_checkpoint(self.model_dir):
-            # native (orbax) dirs store one tree; reload it and keep only
-            # the aux components (the UNet stays as-is)
-            rebuilt = type(self).from_native(self.model_dir, self.policy)
-            self.vae_params = rebuilt.vae_params
-            self.text_encoder = rebuilt.text_encoder
+            # component trees live in separate orbax dirs — restore only
+            # the aux ones (a full from_native would re-materialise the
+            # 1.4B UNet just to discard it)
+            data = load_native(self.model_dir, only=("vae", "clip"))
+            self.vae_params = _cast_tree(
+                data["vae_params"], self.policy.param_dtype
+            )
+            clip_params = _cast_tree(
+                data["clip_params"], self.policy.param_dtype
+            )
+            clip = CLIPTextTransformer(cfg=self.clip_cfg, policy=self.policy)
+            tokenizer = CLIPTokenizer.find_and_load(
+                self.model_dir, os.path.dirname(self.model_dir)
+            )
+            self.text_encoder = TextEncoder(clip, clip_params, tokenizer)
             return
         from t2v.io.convert import convert_vae
         from t2v.io.pickle_reader import load_torch_checkpoint

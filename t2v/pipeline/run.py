@@ -175,8 +175,9 @@ def run(
     _warm_pipe = pipe if retention != "none" else None
     # a warm pipe retained under 'Main Model Only' comes back without its
     # VAE/CLIP — restore them from the model dir before use
-    # (t2v_pipeline.py:253,297: the reference re-moves them onto the GPU)
-    if isinstance(pipe, ModelScopePipeline) and pipe.text_encoder is None:
+    # (t2v_pipeline.py:253,297: the reference re-moves them onto the GPU);
+    # reload_aux no-ops when the components are resident
+    if hasattr(pipe, "reload_aux"):
         pipe.reload_aux()
 
     job_state.reset()
@@ -267,7 +268,7 @@ def run(
             inpaint_mode=inpaint_mode, vc_sample_type=vc_sample_type,
             vc_uc_type=vc_uc_type,
         )
-        if retention == "model" and isinstance(pipe, ModelScopePipeline):
+        if retention == "model" and hasattr(pipe, "release_aux"):
             pipe.release_aux()
         return result
 
@@ -340,7 +341,7 @@ def run(
 
     # 'Main Model Only': retain the warm UNet, drop VAE/CLIP until the
     # next request (render.py:40-43, t2v_pipeline.py:367-373)
-    if retention == "model" and isinstance(pipe, ModelScopePipeline):
+    if retention == "model" and hasattr(pipe, "release_aux"):
         pipe.release_aux()
     return result
 

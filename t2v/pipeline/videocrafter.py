@@ -77,6 +77,10 @@ class VideoCrafterPipeline:
     schedule: DiffusionSchedule
     # cond_stage2 (FPS embedder) params when cfg.cond_stage2_key is set
     cond_stage2_params: Any = None
+    # provenance for 'Main Model Only' aux reload: the native dir or the
+    # Lightning model.ckpt this pipeline was loaded from (None = random init)
+    model_dir: Optional[str] = None
+    ckpt_path: Optional[str] = None
     _decode_fn: Any = field(default=None, repr=False)
     _encode_fn: Any = field(default=None, repr=False)
     _encode_text_fn: Any = field(default=None, repr=False)
@@ -194,6 +198,7 @@ class VideoCrafterPipeline:
             cond_stage2_params=(
                 _cast(cs2, policy.param_dtype) if cs2 is not None else None
             ),
+            model_dir=model_dir,
         )
 
     @classmethod
@@ -301,11 +306,68 @@ class VideoCrafterPipeline:
                 beta_schedule("linear", cfg.num_timesteps, cfg.linear_start, cfg.linear_end)
             ),
             cond_stage2_params=cs2_params,
+            ckpt_path=ckpt_path,
         )
         if lora_path:
             skipped = pipe.load_lora(lora_path, lora_scale)
             print(f"t2v: merged LVDM LoRA ({len(skipped)} modules skipped)")
         return pipe
+
+    # ------------------------------------------------------------------
+    # keep-in-VRAM 'Main Model Only' retention, same 3-state semantics as
+    # ModelScopePipeline.release_aux/reload_aux (render.py:40-43,
+    # t2v_pipeline.py:367-373 — the reference applies the option per-run
+    # regardless of model family)
+
+    def release_aux(self) -> None:
+        """Drop the VAE and CLIP weights AND their jit executables; the
+        UNet params and the jitted-sampler cache stay resident."""
+        self.vae_params = None
+        self.clip_params = None
+        self._decode_fn = None
+        self._encode_fn = None
+        self._encode_text_fn = None
+
+    def reload_aux(self) -> None:
+        """Re-read only the VAE and CLIP weights after ``release_aux``.
+        No-op when both components are resident."""
+        if self.vae_params is not None and self.clip_params is not None:
+            return
+        if self.model_dir is None and self.ckpt_path is None:
+            raise ValueError(
+                "cannot reload VAE/CLIP: pipeline has no checkpoint "
+                "provenance (random-init pipelines cannot use "
+                "'Main Model Only')"
+            )
+        if self.model_dir is not None:
+            from t2v.io.orbax_io import load_native
+
+            data = load_native(self.model_dir, only=("vae", "clip"))
+            self.vae_params = _cast(data["vae_params"], self.policy.param_dtype)
+            self.clip_params = _cast(
+                data["clip_params"], self.policy.param_dtype
+            )
+            return
+        # Lightning layout: one model.ckpt holds every component — re-read
+        # it and keep only the aux trees (configs are already on self)
+        from t2v.io.convert import convert_vae
+        from t2v.io.convert_vc import split_lightning_state_dict
+        from t2v.io.pickle_reader import load_torch_checkpoint
+
+        parts = split_lightning_state_dict(load_torch_checkpoint(self.ckpt_path))
+        self.vae_params = _cast(
+            convert_vae(parts["vae"], self.vae_cfg), self.policy.param_dtype
+        )
+        self.clip_params = _cast(
+            convert_hf_clip_text(
+                {
+                    f"text_model.{k.split('text_model.')[-1]}": v
+                    for k, v in parts["clip"].items()
+                },
+                self.clip_cfg,
+            ),
+            self.policy.param_dtype,
+        )
 
     # ------------------------------------------------------------------
 

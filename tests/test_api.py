@@ -439,6 +439,33 @@ class TestFastAPIAppExecuted:
         assert r.status_code == 200, r.json()
         assert r.json()["mp4s"][0].startswith("data:video/mp4;base64,")
 
+    def test_run_route_forwards_keep_in_vram(self, tiny_pipe, monkeypatch, tmp_path):
+        """Round-4 review: the FastAPI route dropped keep_in_vram, so the
+        3-state retention option was dead on this transport (the stdlib
+        server honored it) — the two transports must stay equivalent."""
+        import t2v.pipeline.run as run_mod
+
+        monkeypatch.chdir(tmp_path)
+        stub, app = self._app(monkeypatch, pipe=tiny_pipe)
+        saved_warm = run_mod._warm_pipe
+        try:
+            r = stub.drive(
+                app, "POST", "/t2v/run",
+                prompt="a fish", steps=2, frames=2, width=32, height=32,
+                seed=3, model=None, keep_in_vram="None",
+            )
+            assert r.status_code == 200, r.json()
+            assert run_mod._warm_pipe is None
+
+            r = stub.drive(
+                app, "POST", "/t2v/run",
+                prompt="a fish", steps=2, frames=2, width=32, height=32,
+                seed=3, model=None, keep_in_vram="Sometimes",
+            )
+            assert r.status_code == 422
+        finally:
+            run_mod._warm_pipe = saved_warm
+
     def test_run_route_422_shape(self, monkeypatch):
         stub, app = self._app(monkeypatch, pipe=None)
         r = stub.drive(app, "POST", "/t2v/run", prompt="x", steps="NaN")

@@ -599,3 +599,77 @@ class TestFPSConditioning:
             callback=st.step_callback, callback_interval=2,
         )
         assert not np.allclose(np.asarray(out.latents), np.asarray(out2.latents))
+
+
+class TestVCKeepInVramRetention:
+    """'Main Model Only' must apply to the VideoCrafter family too — the
+    reference's 3-state option is per-run, not per-family (render.py:40-43).
+    Round-4 review: the release sites were gated on ModelScopePipeline, so
+    VC requests silently retained everything."""
+
+    def _saved_pipe(self, tmp_path):
+        from t2v.io.orbax_io import save_native
+
+        pipe = VideoCrafterPipeline.random_init()
+        pipe.unet_params = jax.tree.map(
+            lambda a: a + 0.01 if a.size and not np.asarray(a).any() else a,
+            pipe.unet_params,
+        )
+        out = save_native(
+            str(tmp_path / "native"),
+            unet_params=pipe.unet_params, vae_params=pipe.vae_params,
+            clip_params=pipe.clip_params, unet_cfg=pipe.cfg,
+            vae_cfg=pipe.vae_cfg, clip_cfg=pipe.clip_cfg,
+            model_family="videocrafter",
+        )
+        pipe.model_dir = out
+        return pipe
+
+    def test_release_and_partial_reload(self, tmp_path):
+        pipe = self._saved_pipe(tmp_path)
+        before = jax.tree.leaves(pipe.vae_params)[0]
+        pipe.release_aux()
+        assert pipe.vae_params is None and pipe.clip_params is None
+        assert pipe._decode_fn is None and pipe._encode_text_fn is None
+        assert pipe.unet_params is not None
+        pipe.reload_aux()
+        assert pipe.vae_params is not None and pipe.clip_params is not None
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(pipe.vae_params)[0], np.float32),
+            np.asarray(before, np.float32),
+        )
+
+    def test_random_init_release_then_reload_raises(self):
+        pipe = VideoCrafterPipeline.random_init()
+        pipe.release_aux()
+        with pytest.raises(ValueError, match="Main Model Only"):
+            pipe.reload_aux()
+
+    def test_run_main_model_only_releases_vc_aux(self, tmp_path):
+        import t2v.pipeline.run as run_mod
+        from t2v.core.config import T2VOutputArgs
+        from t2v.pipeline.run import run
+
+        pipe = self._saved_pipe(tmp_path)
+        args = T2VArgs(
+            model_type="VideoCrafter", prompt="x", steps=2, frames=2,
+            width=32, height=32, seed=4,
+        )
+        out = T2VOutputArgs(fps=4, skip_video_creation=True)
+        saved_warm = run_mod._warm_pipe
+        try:
+            r1 = run(args, out, pipe=pipe, outdir=str(tmp_path / "a"),
+                     callback_interval=None, keep_in_vram="Main Model Only")
+            assert r1.frame_dirs
+            assert pipe.vae_params is None and pipe.clip_params is None
+            assert pipe.unet_params is not None
+            assert run_mod._warm_pipe is pipe
+
+            # warm reuse: aux reloads from the native dir, runs, re-drops
+            r2 = run(args.replace(model=None, seed=5), out,
+                     outdir=str(tmp_path / "b"), callback_interval=None,
+                     keep_in_vram="Main Model Only")
+            assert r2.frame_dirs
+            assert pipe.vae_params is None  # dropped again post-run
+        finally:
+            run_mod._warm_pipe = saved_warm
