@@ -116,6 +116,11 @@ def report(trace_dir: str, n_steps: int) -> None:
         name = e.get("name", "")
         if name.startswith("jit_") or "XLA Modules" in pid_names.get(e["pid"], ""):
             continue
+        if name.isdigit():
+            # run-id container event spanning a whole executable launch —
+            # its duration is the sum of the op events inside it (seen on
+            # donated-state train steps); counting it doubles every op
+            continue
         dur = e.get("dur", 0) / 1e3  # us -> ms
         cats[re.sub(r"[.\d]+$", "", name)] += dur
         total += dur
