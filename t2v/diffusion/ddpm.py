@@ -1,10 +1,16 @@
 """Full-chain ancestral DDPM sampling.
 
 Parity for the reference's LVDM 'ddpm' sample path
-(sample_utils.py:56-87 ``sample_denoising_batch`` → ddpm3d.py:1014-1126
-``p_sample_loop``): all T timesteps, posterior q(x_{t-1}|x_t, x0) with
-clipped x0 and log-variance, noise gated at t==0. Compiled as one
-``lax.scan`` over the full chain.
+(sample_text2video.py:56-69 ``sample_denoising_batch`` →
+ddpm3d.py:1014-1126 ``p_sample_loop``): all T timesteps, posterior
+q(x_{t-1}|x_t, x0) and log-variance, noise gated at t==0. Compiled as
+one ``lax.scan`` over the full chain.
+
+``clip_denoised``: the pixel-space DDPM convention clips x0 to [-1, 1],
+but the reference's LatentDiffusion sets ``self.clip_denoised = False``
+(ddpm3d.py:540) and ``p_sample_loop`` passes that through — LVDM latents
+routinely exceed ±1, so clipping would distort every step. The LVDM
+caller must pass ``clip_denoised=False``.
 """
 
 from __future__ import annotations

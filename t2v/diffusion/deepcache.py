@@ -25,7 +25,6 @@ from t2v.diffusion import ddim as ddim_mod
 from t2v.diffusion import ddim_gaussian as gaussian_mod
 from t2v.diffusion import euler as euler_mod
 from t2v.diffusion import sampling as sampling_mod
-from t2v.diffusion.sampling import _cond_at, cfg_combine
 from t2v.diffusion.schedules import DiffusionSchedule
 
 _MODS = {
@@ -51,34 +50,20 @@ def make_deepcache_body(
 ):
     """Scan body over carry (x, deep_feature)."""
     t_table = jnp.asarray(np.asarray(p.timesteps), jnp.float32)
-    combine = mod.CFG_COMBINE
-    do_cfg = uncond is not None and guidance_scale not in (None, 1)
     eta_key = rng_lib.stream(key, "ddim_eta")
-    needs_noise = eta > 0 or getattr(mod, "NEEDS_STEP_NOISE", False)
+    needs_noise = (
+        eta > 0 and getattr(mod, "USES_ETA", True)
+    ) or getattr(mod, "NEEDS_STEP_NOISE", False)
     convert = sampling_mod.make_out_to_eps(parameterization, schedule)
-
-    def model_in(x, step):
-        c = _cond_at(cond, step)
-        b = x.shape[0]
-        tt = jnp.full((b,), t_table[step], jnp.float32)
-        if not do_cfg:
-            return x, tt, c
-        uc = _cond_at(uncond, step)
-        return (
-            jnp.concatenate([x, x], axis=0),
-            jnp.concatenate([tt, tt], axis=0),
-            jnp.concatenate([uc, c], axis=0),
-        )
-
-    def to_eps(out):
-        if not do_cfg:
-            return out
-        u, y = jnp.split(out, 2, axis=0)
-        return cfg_combine(y, u, guidance_scale, combine)
+    # single home for the fused-CFG batching (sampling.py) — the
+    # cached-apply path reuses exactly the eps_fn semantics
+    _, model_in, to_eps = sampling_mod.make_cfg_batcher(
+        cond, uncond, guidance_scale, mod.CFG_COMBINE
+    )
 
     def body(carry, i):
         xc, feat = carry
-        x2, tt, cc = model_in(xc, i)
+        x2, tt, cc = model_in(xc, t_table[i], i)
 
         def full(_):
             out, new_feat = apply_full(x2, tt, cc)
@@ -102,12 +87,10 @@ def make_deepcache_body(
 
 def deepcache_feat0(apply_full, x, cond, uncond, guidance_scale, t_example=0.0):
     """Zero cache with the deep feature's shape, via an abstract full pass."""
-    do_cfg = uncond is not None and guidance_scale not in (None, 1)
-    b = x.shape[0] * (2 if do_cfg else 1)
-    x2 = jnp.concatenate([x, x], axis=0) if do_cfg else x
-    c = cond if cond.ndim == 3 else cond[0]
-    cc = jnp.concatenate([uncond if uncond.ndim == 3 else uncond[0], c], axis=0) if do_cfg else c
-    tt = jnp.full((b,), t_example, jnp.float32)
+    _, model_in, _ = sampling_mod.make_cfg_batcher(
+        cond, uncond, guidance_scale, "full"
+    )
+    x2, tt, cc = model_in(x, t_example, 0)
     feat_aval = jax.eval_shape(apply_full, x2, tt, cc)[1]
     return jnp.zeros(feat_aval.shape, feat_aval.dtype)
 

@@ -89,6 +89,11 @@ def _make_plan(schedule: DiffusionSchedule, steps: int, ancestral: bool) -> Plan
     )
 
 
+# plain Euler ignores eta entirely (c_noise == 0) — tells make_step_body
+# not to draw a per-step latent noise tensor that would be multiplied by 0
+USES_ETA = False
+
+
 def plan(schedule: DiffusionSchedule, steps: int, eta: float = 0.0) -> Plan:
     """``eta`` is accepted for protocol compatibility and ignored — Euler
     is deterministic; the ancestral variant's noise scale is structural."""

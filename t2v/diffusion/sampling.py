@@ -41,21 +41,25 @@ from t2v.diffusion.schedules import DiffusionSchedule
 class SamplerSpec:
     name: str
     module: Any
-    frame_inpaint_support: bool
+
+    @property
+    def frame_inpaint_support(self) -> bool:
+        # single source of truth: the module flag make_step_body gates on
+        return bool(getattr(self.module, "FRAME_INPAINT_SUPPORT", False))
 
 
 available_samplers: tuple[SamplerSpec, ...] = (
-    SamplerSpec("DDIM_Gaussian", gaussian_mod, True),
-    SamplerSpec("DDIM", ddim_mod, False),
-    SamplerSpec("UniPC", unipc_mod, False),
+    SamplerSpec("DDIM_Gaussian", gaussian_mod),
+    SamplerSpec("DDIM", ddim_mod),
+    SamplerSpec("UniPC", unipc_mod),
     # beyond-reference: second-order multistep ODE sampler (dpmpp.py),
     # uniform and Karras rho-7 node spacings
-    SamplerSpec("DPM++ 2M", dpmpp_mod, False),
-    SamplerSpec("DPM++ 2M Karras", dpmpp_mod.karras, False),
+    SamplerSpec("DPM++ 2M", dpmpp_mod),
+    SamplerSpec("DPM++ 2M Karras", dpmpp_mod.karras),
     # beyond-reference: k-diffusion Euler pair (euler.py) — single-state,
     # so both window (interrupt) and DeepCache execution apply
-    SamplerSpec("Euler", euler_mod, False),
-    SamplerSpec("Euler a", euler_mod.ancestral, False),
+    SamplerSpec("Euler", euler_mod),
+    SamplerSpec("Euler a", euler_mod.ancestral),
 )
 
 
@@ -158,24 +162,49 @@ def make_eps_fn(
     summing to 1 and the conversions are affine in (out, x), so
     converting the combined output is identical.
     """
-    unconditional = uncond is None or guidance_scale == 1 or guidance_scale is None
+    _, model_in, combine_out = make_cfg_batcher(
+        cond, uncond, guidance_scale, combine
+    )
     convert = make_out_to_eps(parameterization, schedule)
 
     def eps_fn(x, t, step):
+        x2, t2, ctx2 = model_in(x, t, step)
+        return convert(combine_out(apply_fn(x2, t2, ctx2)), x, t)
+
+    return eps_fn
+
+
+def make_cfg_batcher(cond, uncond, guidance_scale, combine: str):
+    """(do_cfg, model_in, combine_out): the fused-CFG batching shared by
+    ``make_eps_fn`` and the DeepCache body (deepcache.py) — ONE home for
+    the unconditional predicate and the concat/split/cfg_combine logic so
+    the two paths cannot drift (round-4 review)."""
+    do_cfg = not (
+        uncond is None or guidance_scale is None or guidance_scale == 1
+    )
+
+    def model_in(x, t, step):
+        """x (B, ...), scalar t -> (x', t', ctx') with the [uncond; cond]
+        pair batched in when CFG is active."""
         b = x.shape[0]
         c = _cond_at(cond, step)
         tt = jnp.full((b,), t, dtype=jnp.float32)
-        if unconditional:
-            return convert(apply_fn(x, tt, c), x, t)
+        if not do_cfg:
+            return x, tt, c
         uc = _cond_at(uncond, step)
-        x2 = jnp.concatenate([x, x], axis=0)
-        t2 = jnp.concatenate([tt, tt], axis=0)
-        ctx2 = jnp.concatenate([uc, c], axis=0)
-        out = apply_fn(x2, t2, ctx2)
-        u, y = jnp.split(out, 2, axis=0)
-        return convert(cfg_combine(y, u, guidance_scale, combine), x, t)
+        return (
+            jnp.concatenate([x, x], axis=0),
+            jnp.concatenate([tt, tt], axis=0),
+            jnp.concatenate([uc, c], axis=0),
+        )
 
-    return eps_fn
+    def combine_out(out):
+        if not do_cfg:
+            return out
+        u, y = jnp.split(out, 2, axis=0)
+        return cfg_combine(y, u, guidance_scale, combine)
+
+    return do_cfg, model_in, combine_out
 
 
 def _inpaint_blend(x, step, steps, mask, image_latents, schedule_tables, t_cur, key):
@@ -249,7 +278,27 @@ def sample_loop(
         noise = rng_lib.latent_noise(key, shape, dtype)
 
     if getattr(mod, "MULTISTEP", False):
-        # multistep samplers carry model-output history; own loops
+        # multistep samplers carry model-output history; own loops.
+        # They hardcode full-channel CFG and take no frame-inpaint blend —
+        # reject requests they would otherwise silently ignore (round-4
+        # review). Windowed interrupt execution for these samplers lives
+        # at the pipeline layer (pipeline.py / videocrafter.py), which
+        # carries their (x, history) state across jitted windows;
+        # ``callback`` here only fires at termination.
+        if cfg_combine_mode not in (None, "full"):
+            raise ValueError(
+                f"sampler {sampler_name!r} supports only full-channel CFG "
+                f"(cfg_combine_mode={cfg_combine_mode!r})"
+            )
+        # initial_only inpainting still works here (the masked start
+        # rides in via ``latents``); only the in-loop blend modes need
+        # the step body's mask support
+        if mask is not None and inpaint_mode in ("progressive", "lvdm_static"):
+            raise ValueError(
+                f"sampler {sampler_name!r} does not support "
+                f"{inpaint_mode!r} mask blending — use DDIM_Gaussian "
+                "(progressive) or DDIM (lvdm_static)"
+            )
         if latents is not None and is_vid2vid:
             x = mod.encode_vid2vid(schedule, latents, noise, strength, steps)
         elif latents is not None:
@@ -317,7 +366,9 @@ def make_step_body(
         parameterization=parameterization, schedule=schedule,
     )
     steps = p.steps
-    needs_noise = eta > 0 or getattr(mod, "NEEDS_STEP_NOISE", False)
+    needs_noise = (
+        eta > 0 and getattr(mod, "USES_ETA", True)
+    ) or getattr(mod, "NEEDS_STEP_NOISE", False)
     progressive = (
         inpaint_mode == "progressive"
         and mask is not None

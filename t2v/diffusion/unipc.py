@@ -163,9 +163,18 @@ def sample(x, model_fn, p: Plan, unroll_threshold: int = 2 * ORDER):
     m_init = model_fn(x, p.t_input[0], 0)
     models = [m_init]
 
-    # warmup: rising order with corrector (uni_pc.py:700-711)
+    # warmup: rising order with corrector (uni_pc.py:700-711). The
+    # reference asserts steps >= order; for shorter runs we still honor
+    # the no-corrector-at-the-last-step rule (uni_pc.py:719-722) — a
+    # 1- or 2-step run must not spend a discarded corrector model eval.
     for s in range(1, min(ORDER, steps + 1)):
-        x, m = _update(x, models, s, order_s=s, use_corrector=True, p=p, model_fn=model_fn)
+        last = s == steps
+        x, m = _update(
+            x, models, s, order_s=s, use_corrector=not last, p=p,
+            model_fn=model_fn,
+        )
+        if last:
+            return x
         if m is None:
             m = model_fn(x, p.t_input[s], s)
         models.append(m)

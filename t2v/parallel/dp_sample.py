@@ -145,6 +145,11 @@ def dp_sample(
         and mesh.shape.get("dp", 1) > 1
         and all(sz == 1 for ax, sz in mesh.shape.items() if ax != "dp")
         and n_samples % mesh.shape["dp"] == 0
+        # the shard_map body is one monolithic per-shard program — it
+        # cannot poll between windows, so progress/interrupt requests
+        # route to the GSPMD path (which windows the loop) instead of
+        # being silently dropped (round-4 review)
+        and (callback is None or callback_interval is None)
     )
     if dp_only:
         return _dp_shard_map_sample(

@@ -12,6 +12,19 @@ XLA's SPMD partitioner inserts the single all-reduce per block that the
 Megatron pattern implies; no hand-written collectives. Convolutions and
 norms stay replicated (their arithmetic intensity does not justify tp at
 these sizes). Activations shard batch on "dp" and frames on "sp".
+
+Known inefficiency (round-4 review, measured on the tiny UNet, tp=2
+virtual mesh, production fused_spmd attention): the PACKED projections —
+``geglu`` (value|gate) and the CLIP ``in_proj`` (q|k|v) — are
+column-sharded contiguously, so the downstream ``jnp.split`` boundaries
+fall across devices and GSPMD redistributes the chunks: 2
+collective-permutes + 1 extra all-reduce per ff site (30 CP + 15 AR of
+the 45 AR / 21 AG / 30 CP total; replicating geglu+ff removes exactly
+the 30 CP + 15 AR). Results are correct; the fix — storing the packed
+kernels as (C, chunks, H) so each chunk column-shards independently —
+changes the checkpoint/LoRA/converter layout contract and is deferred
+until it can be validated against re-run parity gates. The separate
+to_q/to_k/to_v projections already shard cleanly.
 """
 
 from __future__ import annotations

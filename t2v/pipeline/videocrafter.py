@@ -547,7 +547,11 @@ class VideoCrafterPipeline:
                 schedule=self.schedule,
             )
             noise = rng_lib.latent_noise(key, shape)
-            x0 = ddpm_mod.sample(eps_fn, self.schedule, noise, key)
+            # clip_denoised=False: LatentDiffusion disables the x0 clip
+            # (ddpm3d.py:540) — latents routinely exceed +/-1
+            x0 = ddpm_mod.sample(
+                eps_fn, self.schedule, noise, key, clip_denoised=False
+            )
         elif callback is not None and callback_interval is not None and (
             sampler_name == "DPM++ 2M"
         ):

@@ -97,6 +97,16 @@ class TestOrbaxNative:
             restored["unet_params"]["params"]["layer"]["kernel"], 1.0
         )
 
+        # partial restore (reload_aux's path): named components only, the
+        # rest comes back None — no UNet re-materialisation
+        partial = load_native(out, only=("vae", "clip"))
+        assert partial["unet_params"] is None
+        assert partial["vae_params"] is not None
+        assert partial["clip_params"] is not None
+        np.testing.assert_allclose(
+            partial["vae_params"]["params"]["layer"]["kernel"], 1.0
+        )
+
 
 class TestNativePipelineLoad:
     def test_save_then_infer_from_native(self, tmp_path):

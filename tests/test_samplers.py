@@ -700,3 +700,95 @@ class TestParameterization:
         assert not np.allclose(
             np.asarray(out.latents), np.asarray(ref.latents), atol=1e-5
         )
+
+
+class TestDDPMClipDenoised:
+    """The LVDM ddpm path must NOT clip x0: LatentDiffusion sets
+    clip_denoised=False (ddpm3d.py:540) and latents routinely exceed +/-1.
+    Round-4 review caught the VC call site using the pixel-space default."""
+
+    def test_unclipped_matches_numpy_recursion(self):
+        import jax
+        import jax.numpy as jnp
+
+        from t2v.core import rng as rng_lib
+        from t2v.diffusion import ddpm as ddpm_mod
+        from t2v.diffusion.schedules import DiffusionSchedule
+
+        sched = DiffusionSchedule.linear_sd(8)
+        key = jax.random.key(0)
+        # x0 predictions far outside [-1, 1]: eps == 0 makes x0 = sr[t] * x
+        x = 5.0 * jnp.ones((1, 2, 4, 4, 3), jnp.float32)
+        eps_fn = lambda xc, t, i: jnp.zeros_like(xc)
+
+        got = np.asarray(
+            ddpm_mod.sample(eps_fn, sched, x, key, clip_denoised=False)
+        )
+        clipped = np.asarray(
+            ddpm_mod.sample(eps_fn, sched, x, key, clip_denoised=True)
+        )
+
+        T = sched.num_timesteps
+        noise_key = rng_lib.stream(key, "ddpm_noise")
+        xc = np.asarray(x, np.float32)
+        for i in range(T):
+            t = T - 1 - i
+            x0 = sched.sqrt_recip_alphas_cumprod[t] * xc
+            mean = (
+                sched.posterior_mean_coef1[t] * x0
+                + sched.posterior_mean_coef2[t] * xc
+            )
+            n = np.asarray(
+                jax.random.normal(jax.random.fold_in(noise_key, i), xc.shape)
+            )
+            nz = 1.0 if t != 0 else 0.0
+            xc = mean + nz * np.exp(
+                0.5 * sched.posterior_log_variance_clipped[t]
+            ) * n
+        np.testing.assert_allclose(got, xc, rtol=1e-5, atol=1e-5)
+        assert not np.allclose(got, clipped), "clip flag does not route"
+
+    def test_vc_ddpm_path_does_not_clip(self):
+        """The pipeline's sample_type='ddpm' output must match the
+        unclipped module call bit-for-bit."""
+        import jax
+        import jax.numpy as jnp
+
+        from t2v.core import rng as rng_lib
+        from t2v.core.config import T2VArgs
+        from t2v.diffusion import ddpm as ddpm_mod
+        from t2v.diffusion.sampling import make_eps_fn
+        from t2v.pipeline.videocrafter import VideoCrafterPipeline
+
+        pipe = VideoCrafterPipeline.random_init()
+        pipe.unet_params = jax.tree.map(
+            lambda a: a + 0.05 if a.size and not np.asarray(a).any() else a,
+            pipe.unet_params,
+        )
+        args = T2VArgs(
+            prompt="a cat", n_prompt="bad", steps=2, frames=2, width=32,
+            height=32, seed=7, cfg_scale=4.0,
+        )
+        res = pipe.infer(args, sample_type="ddpm")
+
+        cond = pipe.encode_text([args.prompt])
+        uncond = pipe.encode_text([args.n_prompt])
+        apply_fn = pipe.make_apply_fn()
+        from t2v.pipeline.videocrafter import _spatial_scale
+
+        key = rng_lib.key_for_seed(rng_lib.resolve_seed(args.seed))
+        ss = _spatial_scale(pipe.vae_cfg)
+        shape = (1, args.frames, args.height // ss, args.width // ss,
+                 pipe.cfg.in_channels)
+        eps_fn = make_eps_fn(
+            apply_fn, cond, uncond, args.cfg_scale, "full",
+            parameterization=pipe.cfg.parameterization,
+            schedule=pipe.schedule,
+        )
+        noise = rng_lib.latent_noise(key, shape)
+        want = ddpm_mod.sample(
+            eps_fn, pipe.schedule, noise, key, clip_denoised=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.latents), np.asarray(want), atol=1e-5
+        )
