@@ -43,13 +43,16 @@ the same trade the flash-attention SPMD path documents (kernels/spmd.py).
 Training memory/perf is unchanged from the unfused graph; the kernel is
 an inference-path optimisation.
 
-Stats-revisit note (round-4 review): with ``c // n_block > 1`` the stats
-side output's blocks are revisited NON-consecutively (the accumulation
-runs over grid dim j while n is innermost). This is correct on TPU
-hardware — verified empirically at the worst revisit pattern (f32 pick
-(8, 128) at C=1280: TEN n-steps between revisits, matches ``chain_ref``
-to rel 2e-06 on the real chip) and byte-identical between hardware and
-the faithful interpreter at the bf16 hot-path tiling. The bf16
+Stats layout note (round-4 review → round-5 fix): the side output is
+per-spatial-tile PARTIALS ``(B, HW/TILE, 2, C)`` — every grid step writes
+its own ``(i, j, ·, n)`` block exactly once, and the tiny fold over the
+tile axis happens in the XLA glue (``finalize_stats``). The original
+round-4 design accumulated across grid dim j into a shared ``(B, 2, C)``
+block, which relied on accumulate-on-revisit semantics for
+NON-consecutive revisits that Pallas TPU does not document (it measured
+correct on the current chip/JAX version, but could silently break on a
+Mosaic upgrade). Partials cost O(B·n_tiles·C) extra HBM — ~300 KB vs the
+~126 MB main tensor — and remove the undocumented dependency. The bf16
 fused-vs-XLA delta at C=1280 (max rel ~3.5e-02) is shared-input
 bf16 rounding, not kernel error: against the fp32 ground truth both
 formulations measure the SAME max rel 3.96e-02 / mean 5.28e-03.
@@ -79,6 +82,18 @@ NUM_GROUPS = 32
 # grid dim, so Mosaic pipelines it).
 _VMEM_BUDGET = 11 * 1024 * 1024
 _VMEM_BUDGET_F32 = 9 * 1024 * 1024
+# When n_block < c the weight block's index map varies over the innermost
+# grid dim, so Mosaic double-buffers it. The fp32 path prices that
+# explicitly; the bf16 path's budget is measurement-calibrated with the
+# weight priced ONCE, so an untracked bf16 shape with a much larger
+# double-buffered weight could overflow the 41 MB scoped-VMEM limit while
+# passing the budget. Guard: reject any bf16 n-blocked candidate whose
+# modelled footprint WITH the weight priced 2× exceeds this cap — chosen
+# just above the worst such footprint among the on-chip-verified tracked
+# tilings (14.38 MiB: VC f=16, hw=1024, C=1280, residual), so every
+# calibrated tiling is preserved bit-for-bit and anything bigger falls to
+# a smaller n_block instead of risking the scoped-VMEM stack.
+_VMEM_SAFE_2X = 15 * 1024 * 1024
 
 
 def _pick_blocks(
@@ -125,10 +140,16 @@ def _pick_blocks(
         cap = (budget - w_bytes) // per_tile
         if cap < 1:
             continue
-        if hw <= cap:
+
+        def _ok(tile: int) -> bool:
+            if f32 or n_block == c:
+                return True
+            return 2 * w_bytes + per_tile * tile <= _VMEM_SAFE_2X
+
+        if hw <= cap and _ok(hw):
             return hw, n_block  # block == full spatial dim: always legal
         for tile in range((min(cap, hw) // 8) * 8, 0, -8):
-            if hw % tile == 0:
+            if hw % tile == 0 and _ok(tile):
                 return tile, n_block
     return None
 
@@ -161,8 +182,6 @@ def _layer_kernel(
         o_ref = rest[0]
         stats_out_ref = rest[1] if emit_stats else None
 
-    j = pl.program_id(1)
-
     # stats arrive finalised per channel: (1, 2, C) = [mu_c; inv_c]
     mu_c = stats_ref[0, 0].reshape(1, 1, c)
     inv_c = stats_ref[0, 1].reshape(1, 1, c)
@@ -194,14 +213,12 @@ def _layer_kernel(
     o_ref[0] = y
 
     if stats_out_ref is not None:
+        # per-tile partials, written exactly once per (i, j, n) grid step —
+        # no block revisits, so no reliance on accumulate-on-revisit
+        # semantics (see the stats layout note in the module docstring)
         y32 = y.astype(jnp.float32)
-
-        @pl.when(j == 0)
-        def _():
-            stats_out_ref[0] = jnp.zeros_like(stats_out_ref[0])
-
-        stats_out_ref[0, 0, :] += y32.sum(axis=(0, 1))
-        stats_out_ref[0, 1, :] += (y32 * y32).sum(axis=(0, 1))
+        stats_out_ref[0, 0, 0, :] = y32.sum(axis=(0, 1))
+        stats_out_ref[0, 0, 1, :] = (y32 * y32).sum(axis=(0, 1))
 
 
 def _layer(
@@ -247,9 +264,11 @@ def _layer(
         )
         args.append(residual)
     if emit_stats:
-        out_shape.append(jax.ShapeDtypeStruct((b, 2, c), jnp.float32))
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, hw // tile, 2, c), jnp.float32)
+        )
         out_specs.append(
-            pl.BlockSpec((1, 2, n_block), lambda i, j, n: (i, 0, n))
+            pl.BlockSpec((1, 1, 2, n_block), lambda i, j, n: (i, j, 0, n))
         )
 
     out = pl.pallas_call(
@@ -264,7 +283,10 @@ def _layer(
         out_shape=out_shape,
         interpret=interpret,
     )(*args)
-    return out if emit_stats else out[0]
+    if emit_stats:
+        # fold the per-tile partials — O(B·n_tiles·C) XLA glue
+        return out[0], out[1].sum(axis=1)
+    return out[0]
 
 
 def input_stats(x) -> jax.Array:

@@ -257,93 +257,95 @@ def run(
     # noise is drawn (eta == 0, initial_only inpainting).
     # VC 'ddpm' chains keep the serial loop (ancestral chain over all 1000
     # timesteps — not a registry sampler).
-    if (dp_shards > 1 or tp_shards > 1 or sp_shards > 1) and (
-        isinstance(pipe, ModelScopePipeline) or vc_sample_type != "ddpm"
-    ):
-        result = _run_dp(
-            pipe, args, out_args, outdir, resolved_seed, timestring,
-            save_frames, dp_shards, tp_shards, sp_shards, features_adapter,
-            job_state,
-            latents=latents, skip_steps=skip_steps, is_vid2vid=is_vid2vid,
-            inpaint_mode=inpaint_mode, vc_sample_type=vc_sample_type,
-            vc_uc_type=vc_uc_type,
-        )
+    try:
+        if (dp_shards > 1 or tp_shards > 1 or sp_shards > 1) and (
+            isinstance(pipe, ModelScopePipeline) or vc_sample_type != "ddpm"
+        ):
+            result = _run_dp(
+                pipe, args, out_args, outdir, resolved_seed, timestring,
+                save_frames, dp_shards, tp_shards, sp_shards, features_adapter,
+                job_state,
+                latents=latents, skip_steps=skip_steps, is_vid2vid=is_vid2vid,
+                inpaint_mode=inpaint_mode, vc_sample_type=vc_sample_type,
+                vc_uc_type=vc_uc_type,
+            )
+            return result
+
+        for batch in range(args.batch_count):
+            if job_state.interrupted:
+                result.interrupted = True
+                break
+            job_state.begin_job(batch, args.batch_count, args.steps - skip_steps)
+
+            batch_args = args.replace(seed=resolved_seed)
+
+            image_latents = None
+            vc_mask = vc_source = None
+            if args.inpainting_frames > 0 and args.inpainting_image:
+                import cv2
+
+                img = cv2.cvtColor(cv2.imread(args.inpainting_image), cv2.COLOR_BGR2RGB)
+                img = cv2.resize(img, (args.width, args.height))
+                if isinstance(pipe, ModelScopePipeline):
+                    key = rng_lib.key_for_seed(resolved_seed + batch)
+                    latents, mask, image_latents = pipe.build_inpainting_inputs(
+                        img, batch_args, key
+                    )
+                    batch_args = batch_args.replace(strength=1.0)
+                else:
+                    # LVDM static mask blend (lvdm ddim.py:188-195)
+                    vc_mask, vc_source = pipe.build_inpainting_inputs(img, batch_args)
+
+            try:
+                if isinstance(pipe, ModelScopePipeline):
+                    res = pipe.infer(
+                        batch_args,
+                        latents=latents,
+                        mask=mask,
+                        image_latents=image_latents,
+                        skip_steps=skip_steps,
+                        is_vid2vid=is_vid2vid,
+                        batch_index=batch,
+                        callback=job_state.step_callback,
+                        callback_interval=callback_interval,
+                        deep_cache_interval=deep_cache_interval,
+                        inpaint_mode=inpaint_mode,
+                    )
+                else:
+                    # VideoCrafter: txt2vid (+ optional depth adapter, mask
+                    # inpaint, ddpm chain, uc_type CFG variants)
+                    # (process_videocrafter.py:12-98, sample_text2video_adapter.py,
+                    # lvdm ddim.py:188-241, sample_utils.py:56-87)
+                    res = pipe.infer(
+                        batch_args,
+                        batch_index=batch,
+                        callback=job_state.step_callback,
+                        callback_interval=callback_interval,
+                        features_adapter=features_adapter,
+                        sample_type=vc_sample_type,
+                        mask=vc_mask,
+                        source_latents=vc_source,
+                        uc_type=vc_uc_type,
+                    )
+            except SkippedException:
+                continue
+            except InterruptedException:
+                result.interrupted = True
+                break
+
+            _emit_batch(
+                result, res.frames, res.infotext, args, out_args, outdir,
+                timestring, batch, resolved_seed + batch, save_frames,
+            )
+
+        return result
+    finally:
+        # 'Main Model Only': retain the warm UNet, drop VAE/CLIP until the
+        # next request (render.py:40-43, t2v_pipeline.py:367-373). Runs in a
+        # finally so the retention contract holds even when infer/save
+        # raises mid-run (round-4 advisor finding).
         if retention == "model" and hasattr(pipe, "release_aux"):
             pipe.release_aux()
-        return result
-
-    for batch in range(args.batch_count):
-        if job_state.interrupted:
-            result.interrupted = True
-            break
-        job_state.begin_job(batch, args.batch_count, args.steps - skip_steps)
-
-        batch_args = args.replace(seed=resolved_seed)
-
-        image_latents = None
-        vc_mask = vc_source = None
-        if args.inpainting_frames > 0 and args.inpainting_image:
-            import cv2
-
-            img = cv2.cvtColor(cv2.imread(args.inpainting_image), cv2.COLOR_BGR2RGB)
-            img = cv2.resize(img, (args.width, args.height))
-            if isinstance(pipe, ModelScopePipeline):
-                key = rng_lib.key_for_seed(resolved_seed + batch)
-                latents, mask, image_latents = pipe.build_inpainting_inputs(
-                    img, batch_args, key
-                )
-                batch_args = batch_args.replace(strength=1.0)
-            else:
-                # LVDM static mask blend (lvdm ddim.py:188-195)
-                vc_mask, vc_source = pipe.build_inpainting_inputs(img, batch_args)
-
-        try:
-            if isinstance(pipe, ModelScopePipeline):
-                res = pipe.infer(
-                    batch_args,
-                    latents=latents,
-                    mask=mask,
-                    image_latents=image_latents,
-                    skip_steps=skip_steps,
-                    is_vid2vid=is_vid2vid,
-                    batch_index=batch,
-                    callback=job_state.step_callback,
-                    callback_interval=callback_interval,
-                    deep_cache_interval=deep_cache_interval,
-                    inpaint_mode=inpaint_mode,
-                )
-            else:
-                # VideoCrafter: txt2vid (+ optional depth adapter, mask
-                # inpaint, ddpm chain, uc_type CFG variants)
-                # (process_videocrafter.py:12-98, sample_text2video_adapter.py,
-                # lvdm ddim.py:188-241, sample_utils.py:56-87)
-                res = pipe.infer(
-                    batch_args,
-                    batch_index=batch,
-                    callback=job_state.step_callback,
-                    callback_interval=callback_interval,
-                    features_adapter=features_adapter,
-                    sample_type=vc_sample_type,
-                    mask=vc_mask,
-                    source_latents=vc_source,
-                    uc_type=vc_uc_type,
-                )
-        except SkippedException:
-            continue
-        except InterruptedException:
-            result.interrupted = True
-            break
-
-        _emit_batch(
-            result, res.frames, res.infotext, args, out_args, outdir,
-            timestring, batch, resolved_seed + batch, save_frames,
-        )
-
-    # 'Main Model Only': retain the warm UNet, drop VAE/CLIP until the
-    # next request (render.py:40-43, t2v_pipeline.py:367-373)
-    if retention == "model" and hasattr(pipe, "release_aux"):
-        pipe.release_aux()
-    return result
 
 
 def _emit_batch(
@@ -578,11 +580,11 @@ def _run_dp(
                 policy=_dc.replace(
                     unet.policy,
                     attention_backend="fused_spmd",
-                    # the fused temporal-conv chain has no
-                    # custom_partitioning rules — GSPMD meshes take the
-                    # natively-shardable XLA formulation (frame all-gather
-                    # under sp is inserted by the partitioner)
-                    temporal_conv_backend="xla",
+                    # fused temporal-conv chain via its custom_partitioning
+                    # rule (kernels/spmd.py::spmd_temporal_conv_chain):
+                    # batch-parallel, frame all-gather under sp inserted by
+                    # the partitioner — tp/sp meshes keep the fused chain
+                    temporal_conv_backend="fused_spmd",
                 )
             )
 

@@ -57,20 +57,49 @@ def bytes_to_unicode() -> dict[int, str]:
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
+def _has_mojibake_marker(raw: bytes) -> bool:
+    """True when ``raw`` (the text re-encoded as cp1252/latin-1 bytes)
+    contains a sequence characteristic of ACTUAL mojibake, mirroring
+    ftfy's conservatism about plausible-text cases: the common 2-byte
+    UTF-8 leads (0xC2/0xC3 → "Ã©"-style Latin-1, 0xD0/0xD1 → Cyrillic)
+    followed by a continuation byte, or any 3/4-byte lead (0xE0–0xF4,
+    e.g. "â€™", CJK) followed by TWO continuation bytes. A lone rare
+    2-byte lead like "Ä©" (0xC4 0xA9 — plausible intended text) does NOT
+    qualify, so it round-trips unchanged."""
+    n = len(raw)
+    for i, b in enumerate(raw):
+        if b in (0xC2, 0xC3, 0xD0, 0xD1):
+            if i + 1 < n and 0x80 <= raw[i + 1] <= 0xBF:
+                return True
+        elif 0xE0 <= b <= 0xF4:
+            if (
+                i + 2 < n
+                and 0x80 <= raw[i + 1] <= 0xBF
+                and 0x80 <= raw[i + 2] <= 0xBF
+            ):
+                return True
+    return False
+
+
 def _fix_mojibake(text: str) -> str:
     """ftfy's core repair (open_clip basic_clean runs ftfy.fix_text,
     clip_hardcode.py:59-145 reaches it via open_clip.tokenize): text that
     is UTF-8 bytes mis-decoded as cp1252/latin-1 ("cafÃ©" → "café").
-    Strictly gated on a successful round-trip, so well-formed text —
-    including emoji and non-Latin scripts, which cp1252 cannot encode —
-    passes through byte-identical. Iterates for doubly-encoded input."""
+    Strictly gated on a successful round-trip AND on the presence of a
+    characteristic mojibake marker sequence (``_has_mojibake_marker``), so
+    well-formed text — emoji, non-Latin scripts, and plausible-but-rare
+    Latin pairs like "Ä©" — passes through byte-identical. Iterates for
+    doubly-encoded input."""
     for _ in range(3):
         if not any(ord(c) > 127 for c in text):
             return text
         candidate = None
         for enc in ("cp1252", "latin-1"):
             try:
-                candidate = text.encode(enc).decode("utf-8")
+                raw = text.encode(enc)
+                if not _has_mojibake_marker(raw):
+                    return text
+                candidate = raw.decode("utf-8")
                 break
             except (UnicodeEncodeError, UnicodeDecodeError):
                 continue

@@ -251,6 +251,30 @@ class TestKeepInVramRetention:
         finally:
             run_mod._warm_pipe = saved_warm
 
+    def test_main_model_only_drops_aux_when_infer_raises(
+        self, model_dir, tmp_path, monkeypatch
+    ):
+        """Round-4 advisor finding: release_aux ran only on the success
+        paths, so a mid-run raise left VAE/CLIP resident in violation of
+        the retention contract. Now it runs in a finally."""
+        import t2v.pipeline.run as run_mod
+        from t2v.pipeline.run import run
+
+        pipe = self._fresh_pipe(model_dir)
+        saved_warm = run_mod._warm_pipe
+        monkeypatch.setattr(
+            type(pipe), "infer",
+            lambda self, *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
+        )
+        try:
+            with pytest.raises(RuntimeError, match="boom"):
+                run(self._args(), pipe=pipe, outdir=str(tmp_path),
+                    keep_in_vram="Main Model Only")
+            assert pipe.text_encoder is None
+            assert pipe.vae_params is None
+        finally:
+            run_mod._warm_pipe = saved_warm
+
     def test_invalid_retention_value_rejected(self, model_dir, tmp_path):
         from t2v.pipeline.run import run
 

@@ -254,6 +254,22 @@ class TestBlockPicker:
         assert _pick_blocks(64, 16, 1280, 2, 2) == (16, 640)
         assert _pick_blocks(16, 16, 1280, 2, 2) == (16, 640)
 
+        # round-4 advisor finding: with n_block < c the weight block is
+        # double-buffered by Mosaic (its index map varies over the
+        # innermost grid dim) but the calibrated bf16 budget priced it
+        # once. The guard caps the 2x-priced modelled footprint at
+        # _VMEM_SAFE_2X (just above the worst on-chip-verified tracked
+        # tiling) so untracked wide-channel bf16 shapes fall to a smaller
+        # n_block instead of risking the 41 MB scoped-VMEM stack:
+        tile, n_block = _pick_blocks(1024, 24, 2560, 2, 2, residual=True)
+        assert n_block <= 256, (tile, n_block)
+        from t2v.kernels.temporal_conv import _VMEM_SAFE_2X
+
+        w2 = 2 * 3 * 2560 * n_block * 2
+        per_tile = 24 * (2 * 2 * 2560 + 4 * 2560 + 2 * 2560
+                         + 4 * n_block + 2 * 2 * n_block + 2 * 2 * n_block)
+        assert w2 + per_tile * tile <= _VMEM_SAFE_2X
+
         # fp32 never picks a larger footprint than bf16 at any tracked shape
         frames = (8, 16, 24, 125)
         levels = (

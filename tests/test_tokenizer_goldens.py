@@ -110,3 +110,18 @@ class TestMojibakeRepair:
 
     def test_tokenizer_ids_equal_after_repair(self, tok):
         assert tok.encode("cafÃ©") == tok.encode("café")
+
+    def test_plausible_rare_pairs_untouched(self):
+        # round-trippable as UTF-8 but lacking a characteristic mojibake
+        # marker (rare 2-byte lead like Ä/Å with a single continuation):
+        # ftfy's badness heuristics keep such plausible text, and so does
+        # the marker gate (round-4 advisor finding)
+        for s in ["Ä© tilde-i", "Å¡ language tag", "maÄ?"]:
+            assert _fix_mojibake(s) == s
+
+    def test_marker_gated_leads_still_repaired(self):
+        # the common leads stay repaired: Ã/Â (Latin-1/symbols), Ð/Ñ
+        # (Cyrillic), â (3-byte punctuation), ã-ï (CJK)
+        assert _fix_mojibake("donâ€™t stop") == "don’t stop"
+        assert _fix_mojibake("Â© 2023") == "© 2023"
+        assert _fix_mojibake("æ—¥æœ¬èªž") == "日本語"
