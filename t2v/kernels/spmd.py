@@ -52,6 +52,7 @@ __all__ = [
     "spmd_self_attention",
     "spmd_cross_attention",
     "spmd_flash_attention",
+    "spmd_temporal_conv_chain",
 ]
 
 
@@ -353,6 +354,86 @@ def _flash_diff_bwd(scale, res, g):
 
 
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
+_TCONV_RULE = (
+    "b f n c, " + ", ".join(["c, c, t c e, e"] * 4) + " -> b f n c"
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _tconv_partitioned(eps: float, interpret: bool):
+    """Fused temporal-conv chain (kernels/temporal_conv.py), batch-parallel.
+
+    Contract: ``b f n c`` with only ``b`` shardable — GroupNorm statistics
+    are joint over (F, HW, group channels) per batch element, and the
+    temporal conv mixes frames, so the kernel must see the full f/n/c
+    extents; the partitioner inserts the frame all-gather an sp mesh
+    needs (the same gather the plain-XLA formulation's GN forces). The 16
+    layer params (4× GN scale/bias + (3, C, C) conv weight + conv bias)
+    are replicated. Closes the round-4 gap where tp/sp meshes forced
+    ``temporal_conv_backend="xla"`` and gave back the fused chain's 7%."""
+    from t2v.kernels.temporal_conv import temporal_conv_chain
+
+    def fwd(x, *flat):
+        layers = tuple(tuple(flat[i * 4:(i + 1) * 4]) for i in range(4))
+        return temporal_conv_chain(x, layers, eps=eps, interpret=interpret)
+
+    f = custom_partitioning(fwd)
+
+    def _x_sharding(mesh, x_sharding):
+        spec = list(getattr(x_sharding, "spec", ()) or ())
+        spec += [None] * (4 - len(spec))
+        return NamedSharding(mesh, PartitionSpec(spec[0], None, None, None))
+
+    def infer(mesh, arg_shapes, result_shape):
+        del result_shape
+        return _x_sharding(mesh, arg_shapes[0].sharding)
+
+    def partition(mesh, arg_shapes, result_shape):
+        del result_shape
+        x_sh = _x_sharding(mesh, arg_shapes[0].sharding)
+        rep = NamedSharding(mesh, PartitionSpec())
+        return mesh, fwd, x_sh, (x_sh,) + (rep,) * 16
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=_TCONV_RULE,
+        need_replication_factors=("f", "n", "c", "t", "e"),
+    )
+    return f
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _tconv_diff(x, layers, eps):
+    flat = tuple(a for layer in layers for a in layer)
+    return _tconv_partitioned(eps, _interpret())(x, *flat)
+
+
+def _tconv_diff_fwd(x, layers, eps):
+    return _tconv_diff(x, layers, eps), (x, layers)
+
+
+def _tconv_diff_bwd(eps, res, g):
+    from t2v.kernels.temporal_conv import chain_ref
+
+    x, layers = res
+    _, vjp = jax.vjp(lambda xx, ll: chain_ref(xx, ll, eps), x, layers)
+    return vjp(g)
+
+
+_tconv_diff.defvjp(_tconv_diff_fwd, _tconv_diff_bwd)
+
+
+def spmd_temporal_conv_chain(x, layers, eps: float = 1e-5):
+    """GSPMD-partitionable fused TemporalConvBlock chain: x (B, F, HW, C),
+    layers = 4 tuples of (gn_scale, gn_bias, (3, C, C) weight, conv_bias).
+    Batch-shardable; f/n/c replicated (gathered by the partitioner where
+    the mesh shards them). Backward recomputes through ``chain_ref`` —
+    plain XLA the partitioner shards natively, matching the single-chip
+    entry's VJP trade."""
+    return _tconv_diff(x, tuple(tuple(l) for l in layers), float(eps))
 
 
 def spmd_self_attention(q, k, v, heads: int, scale: float | None = None):

@@ -522,8 +522,8 @@ class TemporalConvBlock(nn.Module):
         backend = self.policy.temporal_conv_backend
         if backend is None:
             backend = "fused" if jax.default_backend() == "tpu" else "xla"
-        if backend == "fused":
-            from t2v.kernels.temporal_conv import fits, temporal_conv_chain
+        if backend in ("fused", "fused_spmd"):
+            from t2v.kernels.temporal_conv import fits
 
             bb, ff, hh_, ww_, _ = x.shape
             if not fits(
@@ -535,7 +535,7 @@ class TemporalConvBlock(nn.Module):
                 # frames at full res) — this block takes the XLA
                 # formulation; params are shared so mixing is free
                 backend = "xla"
-        if backend == "fused":
+        if backend in ("fused", "fused_spmd"):
             layers = []
             for i in range(1, 5):
                 scale, bias = _GNParamsShell(
@@ -556,10 +556,22 @@ class TemporalConvBlock(nn.Module):
                 )
                 layers.append((scale, bias, w, cb))
             b, f, hh, ww, c = x.shape
-            y = temporal_conv_chain(
-                x.reshape(b, f, hh * ww, c), layers, eps=1e-5,
-                interpret=jax.default_backend() != "tpu",
-            )
+            if backend == "fused_spmd":
+                # GSPMD meshes: custom_partitioning entry (batch-parallel,
+                # frame all-gather under sp inserted by the partitioner) —
+                # keeps the fused chain's 7% on tp/sp jobs (round-4 gap)
+                from t2v.kernels.spmd import spmd_temporal_conv_chain
+
+                y = spmd_temporal_conv_chain(
+                    x.reshape(b, f, hh * ww, c), layers, eps=1e-5
+                )
+            else:
+                from t2v.kernels.temporal_conv import temporal_conv_chain
+
+                y = temporal_conv_chain(
+                    x.reshape(b, f, hh * ww, c), layers, eps=1e-5,
+                    interpret=jax.default_backend() != "tpu",
+                )
             return y.reshape(b, f, hh, ww, c)
 
         identity = x
