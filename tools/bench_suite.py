@@ -15,13 +15,22 @@ Rows:
     DDIM_Gaussian, DDIM, UniPC, DPM++ 2M, Euler a;
   * vid2vid (strength 0.75 → skip_steps=5, a 15-step denoise);
   * masked img2vid inpainting (initial_only, reference parity mode);
-  * vid2vid with a rank-16 stable-LoRA merged (weights differ, FLOPs
-    identical — recorded because BASELINE.md tracks the config);
   * DeepCache x2 txt2vid (pipeline execution path);
   * long-context 125f/256px txt2vid (BASELINE.md tracked);
+  * long-context 250f/256px txt2vid (BASELINE.md tracked — 16 s of video
+    in one denoise; the temporal-conv chain at this shape exceeds every
+    Mosaic-legal VMEM tiling so blocks.py routes it to the XLA
+    formulation, measured here through the same production path);
   * ZeroScope-shape 1024x576/24f txt2vid (BASELINE.md tracked — same
     1.7B topology, hi-res latents);
   * VideoCrafter 16f/256px DDIM (BASELINE.md tracked).
+
+The round-3/4 ``vid2vid_s075_lora16`` row was dropped (round-4 verdict
+weak #6): a stable-LoRA merge swaps weight VALUES into the already-cached
+executable, so the row was FLOP-identical to ``vid2vid_s075`` and its
+~1.7% delta carried no information. The executable-reuse property it
+nominally witnessed is asserted directly by
+tests/test_lora_train.py / test_real_checkpoint.py.
 
 Methodology per .claude/skills/verify/SKILL.md: time the full infer()
 call (text encode is line-cached after warmup; the numpy frame decode is
@@ -178,24 +187,6 @@ def main() -> None:
             **shape24,
         )
 
-    if wants("vid2vid_s075_lora16"):
-        # params are REAL arguments to the cached jit (pipeline.py:488), so
-        # swapping in merged weights reuses the executable — exactly the
-        # stable-LoRA merge semantics (weights differ, FLOPs identical)
-        saved = pipe.unet_params
-        pipe.unet_params = _merged_random_lora(saved)
-        try:
-            record(
-                "vid2vid_s075_lora16",
-                _time_infer(
-                    pipe, base.replace(strength=strength), 3,
-                    latents=src_latents, skip_steps=skip_steps, is_vid2vid=True,
-                ),
-                **dict(shape24, steps=STEPS - skip_steps),
-            )
-        finally:
-            pipe.unet_params = saved
-
     if wants("txt2vid_deepcache2"):
         record(
             "txt2vid_deepcache2",
@@ -207,6 +198,14 @@ def main() -> None:
         long_f = 8 if ns.tiny else 125
         record(
             "txt2vid_125f",
+            _time_infer(pipe, base.replace(frames=long_f), 2),
+            frames=long_f, px=H, steps=STEPS,
+        )
+
+    if wants("txt2vid_250f"):
+        long_f = 10 if ns.tiny else 250
+        record(
+            "txt2vid_250f",
             _time_infer(pipe, base.replace(frames=long_f), 2),
             frames=long_f, px=H, steps=STEPS,
         )
@@ -241,26 +240,6 @@ def main() -> None:
             ),
             frames=vf, px=vw, steps=STEPS,
         )
-
-
-def _merged_random_lora(params):
-    """Rank-16 stable-LoRA with small random factors merged into the UNet
-    (BASELINE.md tracked config 'with LoRA'): identical FLOP profile,
-    different weights."""
-    import flax
-    import jax.numpy as jnp
-
-    flat = flax.traverse_util.flatten_dict(params["params"], sep="/")
-    rng = np.random.default_rng(5)
-    out = {}
-    for k, v in flat.items():
-        a = np.asarray(v)
-        if k.endswith("kernel") and a.ndim == 2 and min(a.shape) >= 16:
-            up = rng.normal(size=(a.shape[0], 16)).astype(np.float32) * 0.01
-            down = rng.normal(size=(16, a.shape[1])).astype(np.float32) * 0.01
-            a = a + (up @ down).astype(a.dtype)
-        out[k] = jnp.asarray(a)
-    return {"params": flax.traverse_util.unflatten_dict(out, sep="/")}
 
 
 if __name__ == "__main__":
