@@ -290,6 +290,41 @@ class TemporalCrossAttention(nn.Module):
         q = _tokens_2d(dense(inner, "to_q", bias=False), x)
         k = _tokens_2d(dense(inner, "to_k", bias=False), x)
         v = _tokens_2d(dense(inner, "to_v", bias=False), x)
+        scale = self.dim_head**-0.5
+
+        if self.frame_split and self.use_relative_position and mask is None:
+            # rel-pos biases + head folds fused into one Pallas kernel:
+            # q/k/v stay in the resident spatial-token layout and the
+            # (B, t, n, h, d) HBM fold transposes never materialise —
+            # the round-5 VC trace priced those folds at 20.9 ms/step of
+            # `copy` (19%) plus relayout junk (kernels/relpos_mha.py).
+            # GSPMD meshes and masked calls keep the XLA einsum path
+            # (natively partitionable / general).
+            from t2v.kernels.relpos_mha import fits, fused_relpos_temporal_mha
+
+            t = self.frame_split
+            bt, n, _ = x.shape
+            backend = p.attention_backend
+            on_tpu = jax.default_backend() == "tpu"
+            if (
+                backend in (None, "fused_interpret")
+                and fits(n, t, inner, jnp.dtype(q.dtype).itemsize)
+                and (on_tpu or backend == "fused_interpret")
+            ):
+                k2 = RelativePosition(
+                    self.dim_head, self.temporal_length, policy=p,
+                    name="relative_position_k",
+                )(t, t)
+                v2 = RelativePosition(
+                    self.dim_head, self.temporal_length, policy=p,
+                    name="relative_position_v",
+                )(t, t)
+                out = fused_relpos_temporal_mha(
+                    q, k, v, k2, v2, heads=self.heads, frame_split=t,
+                    scale=scale, interpret=not on_tpu,
+                )
+                return _tokens_2d(dense(self.query_dim, "to_out"), out)
+
         if self.frame_split:
             t = self.frame_split
             bt, n, _ = x.shape
@@ -307,7 +342,6 @@ class TemporalCrossAttention(nn.Module):
                 .reshape(b * self.heads, t, self.dim_head)
             )
         q, k, v = fold(q), fold(k), fold(v)
-        scale = self.dim_head**-0.5
         sim = jnp.einsum(
             "bid,bjd->bij", q, k, preferred_element_type=jnp.float32
         ) * scale

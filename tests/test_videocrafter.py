@@ -387,6 +387,77 @@ class TestTemporalAttentionParity:
         theirs = (out @ torch.from_numpy(wo).T + torch.from_numpy(bo)).numpy()
         np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
 
+    def test_fused_relpos_kernel_matches_einsum_path(self, rng):
+        """The Pallas resident-layout rel-pos kernel (round-5,
+        kernels/relpos_mha.py) must match the XLA einsum path it replaces
+        on the frame_split contract, through the real module."""
+        import dataclasses
+
+        from t2v.core.dtypes import Policy
+        from t2v.models.videocrafter_unet import TemporalCrossAttention
+
+        dim, heads, dim_head, T, BB, N = 16, 2, 8, 5, 2, 16
+
+        def build(backend):
+            return TemporalCrossAttention(
+                query_dim=dim, heads=heads, dim_head=dim_head,
+                temporal_length=T, use_relative_position=True,
+                frame_split=T,
+                policy=dataclasses.replace(
+                    Policy(), attention_backend=backend
+                ),
+            )
+
+        x = jnp.asarray(rng.normal(size=(BB * T, N, dim)).astype(np.float32))
+        m_ref = build("xla")
+        params = jax.jit(m_ref.init)(jax.random.key(0), x)
+        # perturb the zero-init projections so signal flows
+        params = jax.tree.map(
+            lambda a: a + 0.05 * np.float32(1.0)
+            if a.size and not np.asarray(a).any() else a, params,
+        )
+        ref = m_ref.apply(params, x)
+        out = build("fused_interpret").apply(params, x)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5,
+            err_msg="fused relpos kernel diverges from einsum path",
+        )
+
+    def test_fused_relpos_kernel_grads_match(self, rng):
+        import dataclasses
+
+        from t2v.core.dtypes import Policy
+        from t2v.models.videocrafter_unet import TemporalCrossAttention
+
+        dim, heads, dim_head, T, BB, N = 16, 2, 8, 4, 1, 8
+
+        def build(backend):
+            return TemporalCrossAttention(
+                query_dim=dim, heads=heads, dim_head=dim_head,
+                temporal_length=T, use_relative_position=True,
+                frame_split=T,
+                policy=dataclasses.replace(
+                    Policy(), attention_backend=backend
+                ),
+            )
+
+        x = jnp.asarray(rng.normal(size=(BB * T, N, dim)).astype(np.float32))
+        m_ref = build("xla")
+        params = jax.jit(m_ref.init)(jax.random.key(0), x)
+        params = jax.tree.map(
+            lambda a: a + 0.05 * np.float32(1.0)
+            if a.size and not np.asarray(a).any() else a, params,
+        )
+        g_ref = jax.grad(
+            lambda p: jnp.sum(m_ref.apply(p, x) ** 2)
+        )(params)
+        m_k = build("fused_interpret")
+        g = jax.grad(lambda p: jnp.sum(m_k.apply(p, x) ** 2))(params)
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            )
+
 
 class TestVCLoraLoad:
     def test_load_lora_merges(self, rng, tmp_path):
