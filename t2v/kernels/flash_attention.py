@@ -49,14 +49,19 @@ def _flash_kernel(
 
     # keep the matmul operands in their storage dtype (bf16 runs the MXU at
     # full rate; fp32 operands quarter it) and accumulate in f32 via
-    # preferred_element_type; the scale is applied to the f32 scores
+    # preferred_element_type. scale == 1.0 means the wrapper pre-scaled q
+    # (exact for power-of-two scales) — skip the per-element multiply over
+    # the (bq, bkv) f32 scores, one full VPU pass per block (the kernel is
+    # VPU-bound at the zeroscope 9216-token shape, see docs/PERF.md).
     q = q_ref[0]  # (bq, d)
     k = k_ref[0]  # (bkv, d)
     v = v_ref[0]  # (bkv, d)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (bq, bkv) f32
+    )  # (bq, bkv) f32
+    if scale != 1.0:
+        s = s * scale
 
     # mask out-of-range kv positions (wrapper pads S up to block multiple)
     first_oob = kv_len - kv_idx * block_kv
@@ -118,15 +123,45 @@ def _vmem_block_cap(d: int) -> int:
     return max(256, _round_up(262144 // max(d, 1), 128))
 
 
+def _divisor_block(length: int, want: int, granule: int) -> int:
+    """Largest multiple of ``granule`` ≤ ``want`` that divides ``length``
+    exactly, or ``want`` when none ≥ granule·4 exists. Exact division
+    removes BOTH the padded-block MXU/VPU waste and the per-block OOB
+    column mask: at the ZeroScope mid level (S = 2304) the former 1024
+    default padded to 3072 — 44% of the site's score math was spent on
+    masked columns (round-5 zeroscope trace, docs/PERF.md)."""
+    want = min(want, _round_up(length, granule))
+    for cand in range(want - want % granule, 0, -granule):
+        if length % cand == 0:
+            return cand if cand >= granule * 4 or cand >= length else want
+    return want
+
+
+def _is_pow2(x: float) -> bool:
+    import math
+
+    if x <= 0.0:
+        return False
+    m, _ = math.frexp(x)
+    return m == 0.5
+
+
 def _flash_call(q, k, v, scale, block_q, block_kv, interpret, save_lse):
     B, N, D = q.shape
     S = k.shape[1]
     if scale is None:
         scale = D**-0.5
 
+    # power-of-two scales (every UNet head dim: 64**-0.5 = 1/8) multiply
+    # bf16/f32 q exactly — pre-scale the (N, D) q in XLA (fuses into its
+    # producer) instead of the (N, S) scores in-kernel, bit-identical
+    if _is_pow2(scale):
+        q = q * jnp.asarray(scale, q.dtype)
+        scale = 1.0
+
     cap = _vmem_block_cap(D)
-    block_q = min(block_q, cap, _round_up(N, 8))
-    block_kv = min(block_kv, cap, _round_up(S, LANES))
+    block_q = _divisor_block(N, min(block_q, cap), 8)
+    block_kv = _divisor_block(S, min(block_kv, cap), LANES)
     q, k, v, n_pad, s_pad = _pad_qkv(q, k, v, block_q, block_kv)
 
     grid = (B, n_pad // block_q, s_pad // block_kv)
@@ -176,8 +211,8 @@ def flash_attention_fwd(
     k: jax.Array,
     v: jax.Array,
     scale: float | None = None,
-    block_q: int = 1024,
-    block_kv: int = 1024,
+    block_q: int = 1536,
+    block_kv: int = 1536,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Training forward with residuals: (out (B, N, D), lse (B, N))."""
@@ -192,8 +227,8 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     scale: float | None = None,
-    block_q: int = 1024,
-    block_kv: int = 1024,
+    block_q: int = 1536,
+    block_kv: int = 1536,
     interpret: bool = False,
 ) -> jax.Array:
     """Blockwise attention, q: (B, N, D), k/v: (B, S, D) -> (B, N, D).
@@ -308,8 +343,8 @@ def flash_attention_bwd(
     lse: jax.Array,
     do: jax.Array,
     scale: float | None = None,
-    block_q: int = 1024,
-    block_kv: int = 1024,
+    block_q: int = 1536,
+    block_kv: int = 1536,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """(dq, dk, dv) from saved forward residuals."""
@@ -318,8 +353,8 @@ def flash_attention_bwd(
     if scale is None:
         scale = D**-0.5
     cap = _vmem_block_cap(D)
-    block_q = min(block_q, cap, _round_up(N, 8))
-    block_kv = min(block_kv, cap, _round_up(S, LANES))
+    block_q = _divisor_block(N, min(block_q, cap), 8)
+    block_kv = _divisor_block(S, min(block_kv, cap), LANES)
 
     # delta rows; padded q rows get 0 → zero contributions everywhere
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
