@@ -154,14 +154,44 @@ def _pick_blocks(
     return None
 
 
+def _pick_blocks_chunked(
+    hw: int, f: int, c: int, x_isz: int = 2, w_isz: int = 2,
+    residual: bool = False,
+) -> tuple[int, int, int] | None:
+    """(frame chunk, spatial tile, output-channel block). Tries the full
+    frame extent first (identical to the round-4 behaviour at every shape
+    it admitted, so calibrated tilings are untouched), then divisors of f
+    descending — long-context shapes whose full-f tile exceeds VMEM (125f
+    at C=1280; every 250f shape) run the SAME kernel over frame chunks
+    with a 2-frame halo operand (the (3,1,1) conv needs ±1 neighbour;
+    GroupNorm statistics stay exact because the finalised mu/inv are
+    global and the emitted partials sum over chunks). Frame chunking is
+    what lets the fused chain cover the reference's long-video envelope
+    (/root/reference README.md:45 — the 125/250-frame configs) instead of
+    falling back to XLA above 125 frames."""
+    full = _pick_blocks(hw, f, c, x_isz, w_isz, residual=residual)
+    if full is not None:
+        return (f, *full)
+    for fc in range(f // 2, 1, -1):
+        if f % fc != 0:
+            continue
+        sub = _pick_blocks(hw, fc + 2, c, x_isz, w_isz, residual=residual)
+        if sub is not None:
+            return (fc, *sub)
+    return None
+
+
 def fits(
     f: int, hw: int, c: int, x_isz: int = 2, w_isz: int = 2
 ) -> bool:
     """True when the fused chain has a Mosaic-legal VMEM tiling for this
-    shape at these dtypes. The chain keeps C constant across layers and
-    the residual (last) layer is the largest, so one conservative check
-    covers all four kernels."""
-    return _pick_blocks(hw, f, c, x_isz, w_isz, residual=True) is not None
+    shape at these dtypes (full-frame or frame-chunked). The chain keeps
+    C constant across layers and the residual (last) layer is the
+    largest, so one conservative check covers all four kernels."""
+    return (
+        _pick_blocks_chunked(hw, f, c, x_isz, w_isz, residual=True)
+        is not None
+    )
 
 
 def _layer_kernel(
@@ -221,6 +251,143 @@ def _layer_kernel(
         stats_out_ref[0, 0, 1, :] = (y32 * y32).sum(axis=(0, 1))
 
 
+def _chunked_layer_kernel(
+    stats_ref, scale_ref, bias_ref, w_ref, cb_ref, x_ref, halo_ref, *rest,
+    fc: int, c: int, n_block: int, eps: float,
+    emit_stats: bool, residual: bool, out_dtype,
+):
+    """Frame-chunked variant of ``_layer_kernel``: the block holds FC
+    frames plus a 2-frame halo operand (raw neighbour frames, normalised
+    in-kernel with the same global statistics). Halo rows at the sequence
+    boundaries are zeroed AFTER the activation — matching the unfused
+    Conv3d's zero padding, not SiLU(norm(0))."""
+    if residual:
+        res_ref, o_ref = rest[0], rest[1]
+        stats_out_ref = None
+    else:
+        res_ref = None
+        o_ref = rest[0]
+        stats_out_ref = rest[1] if emit_stats else None
+
+    jc = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    mu_c = stats_ref[0, 0].reshape(1, 1, c)
+    inv_c = stats_ref[0, 1].reshape(1, 1, c)
+
+    x = x_ref[0, 0].astype(jnp.float32)          # (FC, TILE, C)
+    halo = halo_ref[0, 0].astype(jnp.float32)    # (2, TILE, C)
+    xh = jnp.concatenate([halo[:1], x, halo[1:]], axis=0)  # (FC+2, TILE, C)
+    xn = (xh - mu_c) * inv_c * scale_ref[0].reshape(1, 1, c) + bias_ref[
+        0
+    ].reshape(1, 1, c)
+    a = jax.nn.silu(xn)
+    # zero the boundary halo rows (Conv3d frame padding is zeros)
+    front = jnp.where(jc > 0, a[:1], jnp.zeros_like(a[:1]))
+    back = jnp.where(jc < nc - 1, a[-1:], jnp.zeros_like(a[-1:]))
+    a_pad = jnp.concatenate([front, a[1:-1], back], axis=0).astype(
+        w_ref.dtype
+    )
+
+    tile = a_pad.shape[1]
+    m = fc * tile
+    acc = jnp.zeros((m, n_block), jnp.float32)
+    for k in range(3):
+        acc = acc + jax.lax.dot_general(
+            a_pad[k : k + fc].reshape(m, c),
+            w_ref[k],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    y = acc.astype(out_dtype) + cb_ref[0].reshape(1, n_block).astype(out_dtype)
+    y = y.reshape(fc, tile, n_block)
+    if residual:
+        y = y + res_ref[0, 0]
+    o_ref[0, 0] = y
+
+    if stats_out_ref is not None:
+        y32 = y.astype(jnp.float32)
+        stats_out_ref[0, 0, 0, 0, :] = y32.sum(axis=(0, 1))
+        stats_out_ref[0, 0, 0, 1, :] = (y32 * y32).sum(axis=(0, 1))
+
+
+def _build_halos(x, fc: int):
+    """(B, NC, 2, HW, C) raw neighbour frames per chunk: [i·fc−1, (i+1)·fc]
+    with zeros at the sequence ends (also re-zeroed in-kernel after the
+    activation). Gathers 2·(NC−1) frames — O(F/fc) of the tensor."""
+    b, f, hw, c = x.shape
+    nc = f // fc
+    zero = jnp.zeros((b, 1, hw, c), x.dtype)
+    front = jnp.concatenate(
+        [zero, x[:, fc - 1 : f - 1 : fc]], axis=1
+    )  # (B, NC, HW, C)
+    back = jnp.concatenate([x[:, fc : f : fc], zero], axis=1)
+    return jnp.stack([front, back], axis=2)
+
+
+def _chunked_layer(
+    x, stats, scale, bias, w, cb, fc, tile, n_block, *,
+    residual, emit_stats, eps, interpret,
+):
+    b, f, hw, c = x.shape
+    nc = f // fc
+    grid = (b, nc, hw // tile, c // n_block)
+    xr = x.reshape(b, nc, fc, hw, c)
+    halos = _build_halos(x, fc)
+
+    in_specs = [
+        pl.BlockSpec((1, 2, c), lambda i, jc, j, n: (i, 0, 0)),
+        pl.BlockSpec((1, c), lambda i, jc, j, n: (0, 0)),
+        pl.BlockSpec((1, c), lambda i, jc, j, n: (0, 0)),
+        pl.BlockSpec((3, c, n_block), lambda i, jc, j, n: (0, 0, n)),
+        pl.BlockSpec((1, n_block), lambda i, jc, j, n: (0, n)),
+        pl.BlockSpec((1, 1, fc, tile, c), lambda i, jc, j, n: (i, jc, 0, j, 0)),
+        pl.BlockSpec((1, 1, 2, tile, c), lambda i, jc, j, n: (i, jc, 0, j, 0)),
+    ]
+    args = [stats, scale.reshape(1, c), bias.reshape(1, c), w,
+            cb.reshape(1, c), xr, halos]
+    out_shape = [jax.ShapeDtypeStruct((b, nc, fc, hw, c), x.dtype)]
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, fc, tile, n_block), lambda i, jc, j, n: (i, jc, 0, j, n)
+        )
+    ]
+    if residual is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, fc, tile, n_block),
+                lambda i, jc, j, n: (i, jc, 0, j, n),
+            )
+        )
+        args.append(residual.reshape(b, nc, fc, hw, c))
+    if emit_stats:
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, nc, hw // tile, 2, c), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, 1, 2, n_block), lambda i, jc, j, n: (i, jc, j, 0, n)
+            )
+        )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _chunked_layer_kernel, fc=fc, c=c, n_block=n_block, eps=eps,
+            emit_stats=emit_stats, residual=residual is not None,
+            out_dtype=x.dtype,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+    y = out[0].reshape(b, f, hw, c)
+    if emit_stats:
+        return y, out[1].sum(axis=(1, 2))
+    return y
+
+
 def _layer(
     x, stats, scale, bias, w, cb, *, residual=None, emit_stats: bool,
     eps: float, interpret: bool,
@@ -231,7 +398,7 @@ def _layer(
     ``finalize_stats``; the emitted side output is raw per-channel
     sum/sum² for the next layer to finalise."""
     b, f, hw, c = x.shape
-    blocks = _pick_blocks(
+    blocks = _pick_blocks_chunked(
         hw, f, c,
         jnp.dtype(x.dtype).itemsize, jnp.dtype(w.dtype).itemsize,
         residual=residual is not None,
@@ -241,7 +408,13 @@ def _layer(
             f"no Mosaic-legal VMEM tiling for temporal conv chain shape "
             f"(f={f}, hw={hw}, c={c}) — gate the call on fits()"
         )
-    tile, n_block = blocks
+    fc, tile, n_block = blocks
+    if fc < f:
+        return _chunked_layer(
+            x, stats, scale, bias, w, cb, fc, tile, n_block,
+            residual=residual, emit_stats=emit_stats, eps=eps,
+            interpret=interpret,
+        )
     grid = (b, hw // tile, c // n_block)
 
     in_specs = [

@@ -93,6 +93,50 @@ class TestChain:
             np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4
         )
 
+    def test_frame_chunked_path(self):
+        """Round-5: long-context shapes whose full-f tile exceeds VMEM run
+        the kernel over frame chunks with a 2-frame halo operand. Forced
+        chunking (incl. combined with n-blocking) must match chain_ref —
+        exercises the halo masking at both sequence boundaries and the
+        per-chunk stats partials."""
+        import t2v.kernels.temporal_conv as tc
+
+        key = jax.random.key(21)
+        c, f, hw, b = 64, 12, 16, 2
+        x = jax.random.normal(jax.random.key(22), (b, f, hw, c))
+        layers = _random_layers(key, c)
+        want = chain_ref(x, layers)
+        orig = tc._pick_blocks_chunked
+        for pick in [(4, 8, c), (3, 8, c // 2), (6, 8, c)]:
+            tc._pick_blocks_chunked = lambda *a, **k: pick
+            try:
+                got = temporal_conv_chain(x, layers, interpret=True)
+            finally:
+                tc._pick_blocks_chunked = orig
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4,
+                err_msg=f"chunked pick {pick} diverges",
+            )
+
+    def test_long_context_shapes_now_fit(self):
+        """The BASELINE-tracked long-context shapes that round 4 routed to
+        the XLA formulation (125f at C=1280, every 250f shape) now have a
+        chunked tiling."""
+        from t2v.kernels.temporal_conv import _pick_blocks_chunked, fits
+
+        assert fits(125, 1024, 320)
+        assert fits(125, 64, 1280)
+        assert fits(250, 1024, 320)
+        assert fits(250, 256, 640)
+        assert fits(250, 64, 1280)
+        fc, tile, n_block = _pick_blocks_chunked(
+            64, 125, 1280, 2, 2, residual=True
+        )
+        assert fc < 125 and 125 % fc == 0
+        # the flagship/VC full-f picks are untouched (calibrated)
+        assert _pick_blocks_chunked(1024, 24, 320, 2, 2) == (24, 64, 320)
+        assert _pick_blocks_chunked(64, 16, 1280, 2, 2) == (16, 16, 640)
+
     def test_stats_match_groupnorm_moments(self):
         from t2v.kernels.temporal_conv import finalize_stats
 
@@ -308,9 +352,12 @@ class TestBlockPicker:
         from t2v.kernels.temporal_conv import fits
         from t2v.models.blocks import TemporalConvBlock
 
-        # c=96: no multiple-of-128 sub-block exists, and a frame count high
-        # enough that even the full-c block misses the VMEM budget
-        assert not fits(4096, 4096, 96)
+        # c=96: no multiple-of-128 sub-block exists; f=911 is prime so the
+        # frame-chunked fallback (round-5) has no divisor to chunk by, and
+        # the full-f block misses the VMEM budget — truly unfittable.
+        # (the round-4 probe shape f=4096 now FITS via frame chunking)
+        assert not fits(911, 4096, 96)
+        assert fits(4096, 4096, 96)
         c = 32
         x = 0.1 * jax.random.normal(jax.random.key(3), (1, 3, 4, 4, c))
         blk_fused = TemporalConvBlock(
