@@ -108,35 +108,26 @@ def profile_config(name: str, tag: str | None = None) -> dict:
     np.asarray(step(params, x, t, ctx)).sum()
     print(f"[{name}] step compiled in {time.time() - t0:.1f}s", flush=True)
 
-    # FLOPs: XLA's cost analysis counts 0 for Pallas custom calls (the
-    # attention kernels + the fused temporal-conv chain), so count the
-    # SAME math on an all-XLA lowering of the step — identical FLOP
-    # profile, every op visible to the analyzer. Lowering only (no
-    # execution), so the extra compile is the only cost.
+    # FLOPs: XLA's cost analysis counts 0 for Pallas custom calls, so the
+    # step's FLOPs = cost_analysis of the MAIN compiled program + the
+    # Pallas kernels' FLOPs computed from their custom-call operand
+    # shapes in the compiled HLO (``pallas_flops``). Validated against an
+    # all-XLA lowering of the same math where that compiles (flagship:
+    # 11.85 + 2.42 = 14.27 vs the all-XLA/hand-derived 14.3 TFLOP; the
+    # all-XLA ZeroScope program CANNOT compile — its unblocked 9216-token
+    # attention would materialise an 81 GB score tensor).
     flops = None
     try:
-        import dataclasses as _dc
-
-        xla_model = type(model)(
-            cfg=cfg,
-            policy=_dc.replace(
-                Policy.bf16(), attention_backend="xla",
-                temporal_conv_backend="xla",
-            ),
-        )
-        t0 = time.time()
-        ca = (
-            jax.jit(lambda p, x, t, c: xla_model.apply(p, x, t, c))
-            .lower(params, x, t, ctx)
-            .compile()
-            .cost_analysis()
-        )
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) or None
-        print(f"[{name}] all-XLA flop-reference compile "
-              f"{time.time() - t0:.1f}s -> {flops / 1e12:.2f} TFLOP",
-              flush=True)
+        main_flops = float(ca.get("flops", 0.0))
+        kernel_flops, per_kernel = pallas_flops(compiled.as_text())
+        flops = main_flops + kernel_flops
+        print(f"[{name}] flops: main {main_flops / 1e12:.2f} + pallas "
+              f"{kernel_flops / 1e12:.2f} "
+              f"({ {k: round(v / 1e12, 2) for k, v in per_kernel.items()} })"
+              f" = {flops / 1e12:.2f} TFLOP", flush=True)
     except Exception as e:  # axon may not expose cost analysis
         print(f"[{name}] cost_analysis unavailable: {e}", flush=True)
 
@@ -163,6 +154,63 @@ def profile_config(name: str, tag: str | None = None) -> dict:
         row["mfu"] = round(tflops / (step_ms / 1e3) / PEAK_TFLOPS, 4)
     _merge_profile_json(name, row)
     return row
+
+
+def pallas_flops(hlo_text: str) -> tuple[float, dict]:
+    """FLOPs of the Pallas custom calls in compiled HLO, from their
+    ``operand_layout_constraints`` shapes + the source kernel file.
+    Attention: 4·B·N·S·D (scores + values; head-count independent for
+    packed layouts since Σ_h N·S·dh = N·S·HD). Flash backward (≥5 rank-3
+    operands): 2.5× the forward. Rel-pos temporal attention adds the
+    score/value bias dots (+dh). Temporal-conv chain layer: three C×N
+    GEMMs per token."""
+    total = 0.0
+    by: dict[str, float] = {}
+    for line in hlo_text.splitlines():
+        if ("tpu_custom_call" not in line
+                or "operand_layout_constraints" not in line):
+            continue
+        seg = line.split("operand_layout_constraints={", 1)[1]
+        seg = seg.split("}, frontend_attributes")[0].split("}, metadata")[0]
+        src = re.search(r'source_file="[^"]*/([a-z_0-9]+)\.py"', line)
+        if not src:
+            continue
+        kern = src.group(1)
+        shapes = [
+            tuple(int(d) for d in s.split(",") if d)
+            for s in re.findall(r"[a-z0-9]+\[([0-9,]*)\]", seg)
+        ]
+        shapes3 = [s for s in shapes if len(s) >= 3]
+        fl = 0.0
+        if kern in ("fused_mha", "flash_attention") and len(shapes3) >= 2:
+            q, k = shapes3[0], shapes3[1]
+            B, N, D = q[-3:]
+            S = k[-2]
+            fl = 4.0 * B * N * S * D
+            if len(shapes3) >= 5:
+                fl *= 2.5  # FA2 backward: dk/dv + dq recompute passes
+        elif kern == "relpos_mha" and len(shapes3) >= 4:
+            x, k2 = shapes3[0], shapes3[3]
+            BB, T, N, HD = x
+            fl = 4.0 * BB * T * T * N * (HD + k2[-1])
+        elif kern == "temporal_conv":
+            x = next((s for s in shapes3 if len(s) >= 4), None)
+            # weight is (3, C, N); the (B, 2, C) stats operand is excluded
+            # by its middle dim even when B == 3
+            w = next(
+                (s for s in shapes3 if len(s) == 3 and s[0] == 3
+                 and s[1] != 2),
+                None,
+            )
+            if x is None or w is None:
+                continue
+            toks = 1
+            for d in x[:-1]:
+                toks *= d
+            fl = 2.0 * 3 * toks * w[1] * w[2]
+        total += fl
+        by[kern] = by.get(kern, 0.0) + fl
+    return total, by
 
 
 def _merge_profile_json(name: str, row: dict) -> None:
