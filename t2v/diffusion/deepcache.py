@@ -5,8 +5,11 @@ block caching"; "Faster Diffusion — encoder reuse"): across adjacent
 denoise steps the UNet's deep-trunk activations change slowly, so the full
 network only needs to run every ``interval`` steps; in between, the cached
 deep feature is combined with freshly computed shallow layers. Typical
-settings (interval 2-3) cut UNet FLOPs ~40-60% with minor quality cost —
-this is an approximation, OFF by default (interval=1 is exact).
+settings (interval 2-3) cut UNet FLOPs ~40-60% — this is an
+approximation, OFF by default (interval=1 is exact). Measured divergence
+vs the exact 20-step chain on the full-scale real-layout checkpoint
+(QUALITY.json, tools/quality.py): interval 2 = 33.9 dB mean per-frame
+PSNR / 0.987 SSIM; interval 3 = 30.5 dB / 0.973.
 
 Implementation: the scan carry is (x, deep_feature); a ``lax.cond`` picks
 the full forward (also refreshing the cache) or the cached shallow pass.

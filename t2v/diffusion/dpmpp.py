@@ -2,8 +2,13 @@
 
 Beyond-reference addition (the reference ships DDIM_Gaussian / DDIM /
 UniPC, samplers_common.py:89-93): DPM-Solver++ (Lu et al. 2022,
-arXiv:2211.01095) is the de-facto fast sampler in SD tooling — ~2x fewer
-steps than DDIM at matched quality. The 2M variant is a pure two-step
+arXiv:2211.01095) is the de-facto fast sampler in SD tooling, commonly
+run at ~2x fewer steps than DDIM. Measured on the full-scale real-layout
+checkpoint (QUALITY.json): 10 DPM++ steps land 24.6 dB mean per-frame
+PSNR / 0.909 SSIM from the exact 20-step DDIM_Gaussian output —
+solver-trajectory divergence on the true architecture; the "matched
+quality" framing is the paper's claim about perceptual quality, which
+seeded weights cannot measure. The 2M variant is a pure two-step
 linear multistep in half-logSNR space, which makes it a single
 homogeneous ``lax.scan`` here (carry = (x, previous x0-prediction)) —
 no warmup/tail segmentation like UniPC's order-3 machinery.
