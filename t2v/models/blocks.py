@@ -48,6 +48,23 @@ without re-profiling. Flattening ONLY the temporal transformer's
 proj_in/proj_out (the two worst per-token dots in the trace) was also a
 regression: 3.045 s vs 3.004 s — the relayout cost around the temporal
 attention custom region exceeds the GEMM win even at minimal scope.
+
+Round-5 follow-up (profile_unet.py flagship, device trace): the residency
+idea was re-tried ONE more time with the round-5 resident-layout frame
+attention kernel (the design that won −6.1% on VideoCrafter,
+kernels/relpos_mha.py, bias-less variant) — TemporalTransformer staying
+in (b·f, h·w, c) tokens, frame attention gridded over spatial tiles, NO
+HBM transposes, long-N proj GEMMs. It lost again: 146.0 vs 137.0 ms/step.
+The per-site wins materialised exactly as predicted (copy 7.5 → 5.4,
+fusion 32.6 → 29.6) but the kernel itself cost 18.3 ms vs the packed
+path's 10.2: ModelScope's t=24 frame axis pads to 128 lanes inside the
+kernel's (nt, 24, 24) score tiles (5.3× MXU/VPU lane waste), and the
+surviving GN/conv fusions reorganised for the worse (convert_reduce
+40.3 → 48.7). The trade only wins where the XLA path pays per-site fold
+transposes (VideoCrafter's rel-pos attention); with ONE clean transpose
+pair per transformer (this module), the packed (B·H·W, F, C) path
+remains the measured-fastest formulation. Don't re-try residency without
+a lane-packed (multi-token-per-lane) score layout.
 """
 
 from __future__ import annotations
